@@ -1,0 +1,920 @@
+"""Key-addressed stage engine: the TPU framework's replacement for DataJoint.
+
+The reference builds its entire pipeline on DataJoint + MySQL: each processing
+stage is a table class (``dj.Manual`` / ``dj.Lookup`` / ``dj.Computed``),
+dependencies are foreign keys, and computation happens lazily via
+``Table.populate(key)`` calling ``Table.make(key)`` exactly once per key with
+cross-machine atomic job reservation (reference pose_pipeline/pipeline.py:15-20,
+utils/standard_pipelines.py:31-48).
+
+This module re-provides those semantics natively:
+
+- **Schema**: a named namespace of tables, backed by a single SQLite database in
+  WAL mode (replaces the MySQL server at reference
+  datajoint_docker/docker-compose.yaml:9). SQLite WAL + ``BEGIN IMMEDIATE``
+  gives the same atomic-claim semantics DataJoint gets from InnoDB row locks.
+- **Manual / Lookup / Computed / Imported** table base classes with DataJoint
+  ``definition`` DDL strings parsed into headings (primary key above ``---``,
+  dependent attributes below, ``-> Parent`` foreign keys, ``longblob`` payloads
+  serialized via :mod:`.blob`, ``attach@store`` managed files via :mod:`.store`).
+- **Restriction algebra**: ``Table & key``, ``Table - other`` (antijoin),
+  ``Table * Other`` (natural join), ``.proj()``, ``.fetch()/.fetch1()``.
+- **populate()**: ``key_source`` (join of FK parents, minus computed rows)
+  iterated with optional atomic job reservation in the ``~jobs`` table;
+  errors recorded per key (reference's ``suppress_errors`` behavior).
+
+Everything upstream of the accelerator is deliberately small, pure Python, and
+synchronous; the heavy compute lives in the JAX/Pallas layers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import socket
+import sqlite3
+import threading
+import traceback
+from datetime import datetime
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import blob as blob_format
+from .config import config as global_config
+from .store import FileStore
+
+# ---------------------------------------------------------------------------
+# Heading / definition parsing
+# ---------------------------------------------------------------------------
+
+_LOGICAL_BLOB = "blob"
+_LOGICAL_ATTACH = "attach"
+_LOGICAL_TIMESTAMP = "timestamp"
+_LOGICAL_PLAIN = "plain"
+
+_TYPE_MAP = [
+    (re.compile(r"^varchar\(\d+\)$", re.I), "TEXT", _LOGICAL_PLAIN),
+    (re.compile(r"^char\(\d+\)$", re.I), "TEXT", _LOGICAL_PLAIN),
+    (re.compile(r"^enum\(.*\)$", re.I), "TEXT", _LOGICAL_PLAIN),
+    (re.compile(r"^(tiny|small|medium|big)?int(\(\d+\))?( unsigned)?$", re.I), "INTEGER", _LOGICAL_PLAIN),
+    (re.compile(r"^bool(ean)?$", re.I), "INTEGER", _LOGICAL_PLAIN),
+    (re.compile(r"^(float|double|decimal(\(.*\))?)$", re.I), "REAL", _LOGICAL_PLAIN),
+    (re.compile(r"^(long|medium|tiny)?blob$", re.I), "BLOB", _LOGICAL_BLOB),
+    (re.compile(r"^attach(@\w+)?$", re.I), "TEXT", _LOGICAL_ATTACH),
+    (re.compile(r"^(timestamp|datetime)(\(\d+\))?$", re.I), "TEXT", _LOGICAL_TIMESTAMP),
+    (re.compile(r"^date$", re.I), "TEXT", _LOGICAL_TIMESTAMP),
+]
+
+
+class Attribute:
+    __slots__ = ("name", "decl_type", "sql_type", "logical", "in_key", "default", "comment", "store")
+
+    def __init__(self, name, decl_type, sql_type, logical, in_key, default, comment, store=None):
+        self.name = name
+        self.decl_type = decl_type
+        self.sql_type = sql_type
+        self.logical = logical
+        self.in_key = in_key
+        self.default = default
+        self.comment = comment
+        self.store = store
+
+    def __repr__(self):  # pragma: no cover
+        return f"Attribute({self.name}:{self.decl_type}{' KEY' if self.in_key else ''})"
+
+
+class Heading:
+    """Parsed table heading: ordered attributes + foreign-key references."""
+
+    def __init__(self):
+        self.attributes: Dict[str, Attribute] = {}
+        self.foreign_keys: List[Tuple[str, bool]] = []  # (parent class name, in_key)
+        self.comment: str = ""
+
+    @property
+    def names(self) -> List[str]:
+        return list(self.attributes)
+
+    @property
+    def primary_key(self) -> List[str]:
+        return [a.name for a in self.attributes.values() if a.in_key]
+
+    @property
+    def dependent(self) -> List[str]:
+        return [a.name for a in self.attributes.values() if not a.in_key]
+
+
+_ATTR_RE = re.compile(
+    r"^(?P<name>[a-z][a-z0-9_]*)\s*(=\s*(?P<default>[^:]+?)\s*)?:\s*(?P<type>[^#]+?)\s*(#\s*(?P<comment>.*))?$",
+    re.I,
+)
+_FK_RE = re.compile(r"^->\s*(?P<ref>[A-Za-z_][A-Za-z0-9_.]*)\s*(#.*)?$")
+
+
+def parse_definition(definition: str, resolve) -> Heading:
+    """Parse a DataJoint-style ``definition`` string.
+
+    ``resolve(name) -> table class`` maps ``-> Parent`` lines to table classes.
+    """
+    heading = Heading()
+    in_key = True
+    for raw in definition.strip().splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("#"):
+            if not heading.attributes and not heading.comment:
+                heading.comment = line.lstrip("# ")
+            continue
+        if line.startswith("---") or line.startswith("___"):
+            in_key = False
+            continue
+        fk = _FK_RE.match(line)
+        if fk:
+            parent_name = fk.group("ref").split(".")[-1]
+            parent = resolve(parent_name)
+            heading.foreign_keys.append((parent_name, in_key))
+            for pk_name in parent.heading.primary_key:
+                pa = parent.heading.attributes[pk_name]
+                if pk_name not in heading.attributes:
+                    heading.attributes[pk_name] = Attribute(
+                        pk_name, pa.decl_type, pa.sql_type, pa.logical, in_key, None, pa.comment, pa.store
+                    )
+                elif in_key:
+                    heading.attributes[pk_name].in_key = True
+            continue
+        m = _ATTR_RE.match(line)
+        if not m:
+            raise ValueError(f"Cannot parse definition line: {raw!r}")
+        name = m.group("name")
+        decl_type = m.group("type").strip()
+        default = m.group("default")
+        comment = (m.group("comment") or "").strip()
+        sql_type, logical, store = None, None, None
+        for rx, sqlt, logi in _TYPE_MAP:
+            if rx.match(decl_type):
+                sql_type, logical = sqlt, logi
+                break
+        if sql_type is None:
+            raise ValueError(f"Unsupported attribute type {decl_type!r} for {name!r}")
+        if logical == _LOGICAL_ATTACH:
+            store = decl_type.split("@")[1] if "@" in decl_type else "localattach"
+        if default is not None:
+            default = default.strip().strip("'\"")
+            if default.upper() == "NULL":
+                default = None
+                has_default = True
+            else:
+                has_default = True
+            defval = (default, has_default)
+        else:
+            defval = None
+        heading.attributes[name] = Attribute(name, decl_type, sql_type, logical, in_key, defval, comment, store)
+    if not heading.primary_key:
+        raise ValueError("Table definition has no primary key")
+    return heading
+
+
+# ---------------------------------------------------------------------------
+# Value conversion
+# ---------------------------------------------------------------------------
+
+
+def _to_sql_value(attr: Attribute, value, store: FileStore):
+    if value is None:
+        return None
+    if attr.logical == _LOGICAL_BLOB:
+        return sqlite3.Binary(blob_format.pack(value))
+    if attr.logical == _LOGICAL_ATTACH:
+        return store.put(str(value))
+    if attr.logical == _LOGICAL_TIMESTAMP:
+        if isinstance(value, datetime):
+            return value.isoformat(sep=" ")
+        return str(value)
+    if isinstance(value, np.generic):
+        return value.item()
+    if isinstance(value, (np.ndarray,)):
+        raise TypeError(f"Attribute {attr.name} is not a blob; got ndarray")
+    return value
+
+
+def _from_sql_value(attr: Attribute, value, store: FileStore, materialize_attach=True):
+    if value is None:
+        return None
+    if attr.logical == _LOGICAL_BLOB:
+        return blob_format.unpack(value)
+    if attr.logical == _LOGICAL_ATTACH:
+        return store.get(value) if materialize_attach else value
+    if attr.logical == _LOGICAL_TIMESTAMP:
+        if value == "CURRENT_TIMESTAMP":
+            return value
+        try:
+            return datetime.fromisoformat(str(value))
+        except ValueError:
+            return value
+    return value
+
+
+def key_hash(key: Dict[str, Any]) -> str:
+    """Stable 32-hex hash of a primary key dict (job-table addressing)."""
+    payload = json.dumps({k: key[k] for k in sorted(key)}, default=str, sort_keys=True)
+    return hashlib.md5(payload.encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Schema
+# ---------------------------------------------------------------------------
+
+
+class Schema:
+    """A named table namespace over one SQLite database file."""
+
+    def __init__(self, name: str, config=None):
+        self.config = config if config is not None else global_config
+        self.name = name
+        self.tables: Dict[str, type] = {}
+        self._local = threading.local()
+        self.store = FileStore(self.config.store_location if hasattr(self.config, "store_location")
+                               else self.config.get("stores", {}).get("localattach", {}).get("location", "./ppt_store"))
+        os.makedirs(os.path.dirname(os.path.abspath(self.db_path)), exist_ok=True)
+        with self.connection() as conn:
+            conn.execute(
+                "CREATE TABLE IF NOT EXISTS \"~jobs\" ("
+                "table_name TEXT NOT NULL, key_hash TEXT NOT NULL, status TEXT NOT NULL,"
+                "key BLOB, error_message TEXT, error_stack TEXT,"
+                "user TEXT, host TEXT, pid INTEGER, connection_id INTEGER,"
+                "timestamp TEXT DEFAULT CURRENT_TIMESTAMP,"
+                "PRIMARY KEY (table_name, key_hash))"
+            )
+
+    @property
+    def db_path(self) -> str:
+        return self.config.database_path if hasattr(self.config, "database_path") else self.config.get(
+            "database.path", "./pose_pipeline_tpu.db")
+
+    def connection(self) -> sqlite3.Connection:
+        conn = getattr(self._local, "conn", None)
+        if conn is None or getattr(self._local, "pid", None) != os.getpid():
+            conn = sqlite3.connect(self.db_path, timeout=60.0, isolation_level=None)
+            conn.execute("PRAGMA journal_mode=WAL")
+            conn.execute("PRAGMA busy_timeout=60000")
+            conn.execute("PRAGMA synchronous=NORMAL")
+            self._local.conn = conn
+            self._local.pid = os.getpid()
+        return conn
+
+    # -- decorator ---------------------------------------------------------
+    def __call__(self, cls):
+        cls._schema = self
+        cls.database = self.name
+
+        def resolve(name: str):
+            if name == cls.__name__:
+                return cls
+            if name in self.tables:
+                return self.tables[name]
+            import sys
+            mod = sys.modules.get(cls.__module__)
+            if mod is not None and hasattr(mod, name):
+                return getattr(mod, name)
+            raise KeyError(f"Cannot resolve foreign key reference {name!r} for table {cls.__name__}")
+
+        cls.heading = parse_definition(cls.definition, resolve)
+        cls.table_name = f"{self.name}__{_camel_to_snake(cls.__name__)}"
+        self.tables[cls.__name__] = cls
+        self._declare(cls)
+        contents = getattr(cls, "contents", None)
+        if contents:
+            inst = cls()
+            rows = [dict(r) if isinstance(r, dict) else r for r in contents]
+            inst.insert(rows, skip_duplicates=True)
+        return cls
+
+    def _declare(self, cls):
+        cols = []
+        for a in cls.heading.attributes.values():
+            col = f'"{a.name}" {a.sql_type}'
+            if a.default is not None:
+                dv, _ = a.default
+                if dv is None:
+                    pass  # nullable
+                elif dv.upper() == "CURRENT_TIMESTAMP":
+                    col += " DEFAULT CURRENT_TIMESTAMP"
+                else:
+                    col += f" DEFAULT {json.dumps(dv)}"
+            elif not a.in_key:
+                pass
+            cols.append(col)
+        pk = ", ".join(f'"{n}"' for n in cls.heading.primary_key)
+        sql = f'CREATE TABLE IF NOT EXISTS "{cls.table_name}" ({", ".join(cols)}, PRIMARY KEY ({pk}))'
+        with _write_lock(self.connection()) as conn:
+            conn.execute(sql)
+
+    def drop(self):
+        """Drop all tables of this schema (testing helper)."""
+        conn = self.connection()
+        for cls in list(self.tables.values()):
+            conn.execute(f'DROP TABLE IF EXISTS "{cls.table_name}"')
+        conn.execute('DELETE FROM "~jobs"')
+
+    # -- jobs --------------------------------------------------------------
+    def jobs_reserve(self, table_name: str, key: Dict[str, Any]) -> bool:
+        conn = self.connection()
+        try:
+            conn.execute("BEGIN IMMEDIATE")
+            conn.execute(
+                'INSERT INTO "~jobs" (table_name, key_hash, status, key, user, host, pid) '
+                "VALUES (?, ?, 'reserved', ?, ?, ?, ?)",
+                (table_name, key_hash(key), sqlite3.Binary(blob_format.pack(key)),
+                 os.environ.get("USER", "?"), socket.gethostname(), os.getpid()),
+            )
+            conn.execute("COMMIT")
+            return True
+        except sqlite3.IntegrityError:
+            conn.execute("ROLLBACK")
+            return False
+
+    def jobs_complete(self, table_name: str, key: Dict[str, Any]) -> None:
+        conn = self.connection()
+        conn.execute('DELETE FROM "~jobs" WHERE table_name=? AND key_hash=?', (table_name, key_hash(key)))
+
+    def jobs_error(self, table_name: str, key: Dict[str, Any], message: str, stack: str = "") -> None:
+        conn = self.connection()
+        conn.execute(
+            'INSERT OR REPLACE INTO "~jobs" (table_name, key_hash, status, key, error_message, error_stack, user, host, pid) '
+            "VALUES (?, ?, 'error', ?, ?, ?, ?, ?, ?)",
+            (table_name, key_hash(key), sqlite3.Binary(blob_format.pack(key)), message[:2047], stack,
+             os.environ.get("USER", "?"), socket.gethostname(), os.getpid()),
+        )
+
+    def jobs(self) -> List[Dict[str, Any]]:
+        conn = self.connection()
+        cur = conn.execute('SELECT table_name, key_hash, status, key, error_message, timestamp FROM "~jobs"')
+        out = []
+        for tn, kh, status, key, err, ts in cur.fetchall():
+            out.append(dict(table_name=tn, key_hash=kh, status=status,
+                            key=blob_format.unpack(key) if key else None,
+                            error_message=err, timestamp=ts))
+        return out
+
+
+class _write_lock:
+    """Context manager: immediate transaction commit/rollback."""
+
+    def __init__(self, conn: sqlite3.Connection):
+        self.conn = conn
+
+    def __enter__(self):
+        self.conn.execute("BEGIN IMMEDIATE")
+        return self.conn
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.conn.execute("COMMIT")
+        else:
+            self.conn.execute("ROLLBACK")
+        return False
+
+
+def _camel_to_snake(name: str) -> str:
+    return re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
+
+
+# ---------------------------------------------------------------------------
+# Restrictions
+# ---------------------------------------------------------------------------
+
+
+class Not:
+    """Negated restriction (antijoin operand)."""
+
+    def __init__(self, operand):
+        self.operand = operand
+
+
+def _row_matches(row: Dict[str, Any], restriction, heading_names: Sequence[str]) -> bool:
+    if restriction is None:
+        return True
+    if isinstance(restriction, Not):
+        return not _row_matches(row, restriction.operand, heading_names)
+    if isinstance(restriction, dict):
+        for k, v in restriction.items():
+            if k in heading_names and k in row:
+                rv = row[k]
+                if isinstance(rv, float) or isinstance(v, float):
+                    try:
+                        if float(rv) != float(v):
+                            return False
+                        continue
+                    except (TypeError, ValueError):
+                        return False
+                if str(rv) != str(v) and rv != v:
+                    return False
+        return True
+    if isinstance(restriction, (list, tuple)):
+        if len(restriction) == 0:
+            return False
+        return any(_row_matches(row, r, heading_names) for r in restriction)
+    if isinstance(restriction, QueryExpression):
+        shared = [n for n in heading_names if n in restriction.heading.names]
+        keys = restriction._shared_tuples(shared)
+        return tuple(_norm(row.get(n)) for n in shared) in keys
+    if isinstance(restriction, str):
+        raise RuntimeError("string restrictions are resolved in SQL")  # pragma: no cover
+    if isinstance(restriction, type) and issubclass(restriction, Table):
+        return _row_matches(row, QueryExpression(restriction), heading_names)
+    if isinstance(restriction, Table):
+        return _row_matches(row, QueryExpression(type(restriction)), heading_names)
+    raise TypeError(f"Unsupported restriction {restriction!r}")
+
+
+def _norm(v):
+    if isinstance(v, float) and v == int(v):
+        return int(v)
+    if isinstance(v, np.generic):
+        return _norm(v.item())
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Query expressions
+# ---------------------------------------------------------------------------
+
+
+class QueryExpression:
+    """A restricted view over a table (or natural join of tables)."""
+
+    def __init__(self, table_cls, restrictions: Optional[List] = None):
+        self._table = table_cls
+        self._restrictions = list(restrictions or [])
+
+    # -- algebra -----------------------------------------------------------
+    @property
+    def heading(self) -> Heading:
+        return self._table.heading
+
+    @property
+    def primary_key(self) -> List[str]:
+        return self.heading.primary_key
+
+    def restrict(self, restriction) -> "QueryExpression":
+        if restriction is None:
+            return self
+        return self.__class__(self._table, self._restrictions + [restriction])
+
+    def __and__(self, restriction) -> "QueryExpression":
+        return self.restrict(restriction)
+
+    def __sub__(self, other) -> "QueryExpression":
+        return self.restrict(Not(other if isinstance(other, QueryExpression) else other))
+
+    def __mul__(self, other) -> "JoinExpression":
+        other_expr = other if isinstance(other, QueryExpression) else QueryExpression(other)
+        return JoinExpression([self, other_expr])
+
+    def proj(self, *attrs, **renames) -> "QueryExpression":
+        return ProjExpression(self, attrs, renames)
+
+    # -- execution ---------------------------------------------------------
+    def _sql_where(self) -> Tuple[str, list]:
+        """Push dict/str restrictions into SQL; return residual python restrictions."""
+        clauses, params, residual = [], [], []
+        names = set(self.heading.names)
+        for r in self._restrictions:
+            if isinstance(r, dict):
+                sub = []
+                for k, v in r.items():
+                    if k in names:
+                        attr = self.heading.attributes[k]
+                        sub.append(f'"{k}" = ?')
+                        params.append(_to_sql_value(attr, v, self._table._schema.store)
+                                      if attr.logical != _LOGICAL_ATTACH else v)
+                if sub:
+                    clauses.append("(" + " AND ".join(sub) + ")")
+            elif isinstance(r, str):
+                clauses.append("(" + r.replace('"', "'") + ")")
+            else:
+                residual.append(r)
+        where = (" WHERE " + " AND ".join(clauses)) if clauses else ""
+        return where, params, residual
+
+    def _rows(self, raw_attach=True) -> List[Dict[str, Any]]:
+        where, params, residual = self._sql_where()
+        conn = self._table._schema.connection()
+        cols = ", ".join(f'"{n}"' for n in self.heading.names)
+        cur = conn.execute(f'SELECT {cols} FROM "{self._table.table_name}"{where}', params)
+        store = self._table._schema.store
+        out = []
+        for values in cur.fetchall():
+            row = {}
+            for attr, v in zip(self.heading.attributes.values(), values):
+                if attr.logical == _LOGICAL_ATTACH and raw_attach:
+                    row[attr.name] = v
+                else:
+                    row[attr.name] = _from_sql_value(attr, v, store)
+            if all(_row_matches(row, r, self.heading.names) for r in residual):
+                out.append(row)
+        return out
+
+    def _shared_tuples(self, shared: Sequence[str]) -> set:
+        return {tuple(_norm(r.get(n)) for n in shared) for r in self._rows(raw_attach=True)}
+
+    def __len__(self) -> int:
+        return len(self._rows(raw_attach=True))
+
+    def __bool__(self) -> bool:
+        return len(self) > 0
+
+    def __iter__(self):
+        for row in self._rows(raw_attach=True):
+            yield {k: row[k] for k in self.primary_key}
+
+    def fetch(self, *attrs, order_by: Optional[str] = None, limit: Optional[int] = None,
+              as_dict: bool = False, **_ignored):
+        rows = self._rows(raw_attach=True)
+        if order_by:
+            desc = order_by.strip().lower().endswith(" desc")
+            col = order_by.split()[0]
+            rows.sort(key=lambda r: (r.get(col) is None, r.get(col)), reverse=desc)
+        if limit is not None:
+            rows = rows[:limit]
+        if not attrs:
+            # full rows: materialize attachments
+            rows = self._materialize(rows)
+            return rows
+        store = self._table._schema.store
+        results = []
+        for a in attrs:
+            if a == "KEY":
+                results.append([{k: r[k] for k in self.primary_key} for r in rows])
+            else:
+                if a not in self.heading.attributes:
+                    raise KeyError(f"Unknown attribute {a!r}")
+                attr = self.heading.attributes[a]
+                vals = [r[a] for r in rows]
+                if attr.logical == _LOGICAL_ATTACH:
+                    vals = [store.get(v) if isinstance(v, str) else v for v in vals]
+                if attr.logical == _LOGICAL_PLAIN:
+                    results.append(np.array(vals) if vals and not isinstance(vals[0], str) else vals)
+                else:
+                    results.append(vals)
+        return results[0] if len(results) == 1 else tuple(results)
+
+    def _materialize(self, rows):
+        store = self._table._schema.store
+        out = []
+        for r in rows:
+            r = dict(r)
+            for attr in self.heading.attributes.values():
+                if attr.logical == _LOGICAL_ATTACH and isinstance(r.get(attr.name), str):
+                    r[attr.name] = store.get(r[attr.name])
+            out.append(r)
+        return out
+
+    def fetch1(self, *attrs, **kwargs):
+        rows = self._rows(raw_attach=True)
+        if len(rows) != 1:
+            raise ValueError(
+                f"fetch1 requires exactly one row in {self._table.__name__}; found {len(rows)}")
+        if not attrs:
+            return self._materialize(rows)[0]
+        row = rows[0]
+        store = self._table._schema.store
+        results = []
+        for a in attrs:
+            if a == "KEY":
+                results.append({k: row[k] for k in self.primary_key})
+            else:
+                attr = self.heading.attributes[a]
+                v = row[a]
+                if attr.logical == _LOGICAL_ATTACH and isinstance(v, str):
+                    v = store.get(v)
+                results.append(v)
+        return results[0] if len(results) == 1 else tuple(results)
+
+    # -- mutation ----------------------------------------------------------
+    def delete(self, safemode: bool = False):
+        keys = [dict(k) for k in self]
+        conn = self._table._schema.connection()
+        with _write_lock(conn):
+            for key in keys:
+                clause = " AND ".join(f'"{k}" = ?' for k in key)
+                conn.execute(f'DELETE FROM "{self._table.table_name}" WHERE {clause}', list(key.values()))
+        return len(keys)
+
+    delete_quick = delete
+
+    def __repr__(self):  # pragma: no cover
+        return f"<{self._table.__name__} ({len(self)} rows)>"
+
+
+class ProjExpression(QueryExpression):
+    """Projection: keep primary key + selected attributes."""
+
+    def __init__(self, base: QueryExpression, attrs, renames):
+        super().__init__(base._table, base._restrictions)
+        self._keep = list(attrs)
+        self._renames = dict(renames)
+
+    @property
+    def heading(self) -> Heading:
+        base = self._table.heading
+        h = Heading()
+        for name, a in base.attributes.items():
+            if a.in_key or name in self._keep:
+                h.attributes[name] = a
+        for new, old in self._renames.items():
+            a = base.attributes[old]
+            h.attributes[new] = Attribute(new, a.decl_type, a.sql_type, a.logical, a.in_key, a.default, a.comment, a.store)
+        return h
+
+    def _rows(self, raw_attach=True):
+        rows = QueryExpression(self._table, self._restrictions)._rows(raw_attach=raw_attach)
+        out = []
+        for r in rows:
+            nr = {k: v for k, v in r.items()
+                  if self._table.heading.attributes[k].in_key or k in self._keep}
+            for new, old in self._renames.items():
+                nr[new] = r[old]
+            out.append(nr)
+        return out
+
+
+class JoinExpression(QueryExpression):
+    """Natural join of expressions (used primarily for ``key_source``)."""
+
+    def __init__(self, parts: List[QueryExpression], restrictions: Optional[List] = None):
+        self._parts = parts
+        self._restrictions = list(restrictions or [])
+        self._table = parts[0]._table  # for schema access
+
+    @property
+    def heading(self) -> Heading:
+        h = Heading()
+        for p in self._parts:
+            for name, a in p.heading.attributes.items():
+                if name not in h.attributes:
+                    h.attributes[name] = a
+        return h
+
+    @property
+    def primary_key(self) -> List[str]:
+        seen = []
+        for p in self._parts:
+            for n in p.primary_key:
+                if n not in seen:
+                    seen.append(n)
+        return seen
+
+    def restrict(self, restriction) -> "JoinExpression":
+        if restriction is None:
+            return self
+        return JoinExpression(self._parts, self._restrictions + [restriction])
+
+    def __mul__(self, other):
+        other_expr = other if isinstance(other, QueryExpression) else QueryExpression(other)
+        return JoinExpression(self._parts + [other_expr], self._restrictions)
+
+    def _rows(self, raw_attach=True):
+        rows = [dict(r) for r in self._parts[0]._rows(raw_attach=True)]
+        for p in self._parts[1:]:
+            p_rows = p._rows(raw_attach=True)
+            shared = [n for n in p.heading.names
+                      if any(n in q.heading.names for q in self._parts[: self._parts.index(p)])]
+            index: Dict[tuple, List[dict]] = {}
+            for pr in p_rows:
+                index.setdefault(tuple(_norm(pr.get(n)) for n in shared), []).append(pr)
+            merged = []
+            for r in rows:
+                for pr in index.get(tuple(_norm(r.get(n)) for n in shared), []):
+                    nr = dict(pr)
+                    nr.update(r)
+                    merged.append(nr)
+            rows = merged
+        names = self.heading.names
+        out = []
+        for r in rows:
+            ok = True
+            for restr in self._restrictions:
+                if isinstance(restr, str):
+                    raise NotImplementedError("string restriction on join")
+                if not _row_matches(r, restr, names):
+                    ok = False
+                    break
+            if ok:
+                out.append(r)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Table base classes
+# ---------------------------------------------------------------------------
+
+
+class TableMeta(type):
+    """Lets the *class itself* act as a query expression (DataJoint idiom)."""
+
+    def _expr(cls) -> QueryExpression:
+        return QueryExpression(cls)
+
+    def __and__(cls, restriction):
+        return cls._expr() & restriction
+
+    def __sub__(cls, other):
+        return cls._expr() - other
+
+    def __mul__(cls, other):
+        return cls._expr() * other
+
+    def __len__(cls):
+        return len(cls._expr())
+
+    def __bool__(cls):
+        return True  # classes are always truthy; use len()
+
+    def __iter__(cls):
+        return iter(cls._expr())
+
+    def proj(cls, *a, **k):
+        return cls._expr().proj(*a, **k)
+
+    def fetch(cls, *a, **k):
+        return cls._expr().fetch(*a, **k)
+
+    def fetch1(cls, *a, **k):
+        return cls._expr().fetch1(*a, **k)
+
+    def delete(cls, **k):
+        return cls._expr().delete(**k)
+
+
+class Table(metaclass=TableMeta):
+    definition: str = ""
+    heading: Heading
+    table_name: str
+    _schema: Schema
+
+    def __init__(self):
+        pass
+
+    # instance-level algebra mirrors class-level
+    def __and__(self, r):
+        return type(self)._expr() & r
+
+    def __sub__(self, r):
+        return type(self)._expr() - r
+
+    def __mul__(self, r):
+        return type(self)._expr() * r
+
+    def __len__(self):
+        return len(type(self)._expr())
+
+    def __getattr__(self, name):
+        # Delegate query-expression methods (fetch/fetch1/proj/delete/...) from
+        # table *instances* to a fresh expression over the table.
+        if name.startswith("_"):
+            raise AttributeError(name)
+        expr = type(self)._expr()
+        if hasattr(expr, name):
+            return getattr(expr, name)
+        raise AttributeError(name)
+
+    # -- insertion ----------------------------------------------------------
+    @classmethod
+    def insert1(cls, row: Dict[str, Any], skip_duplicates: bool = False,
+                allow_direct_insert: bool = False, replace: bool = False, ignore_extra_fields: bool = True):
+        cls.insert([row], skip_duplicates=skip_duplicates, replace=replace,
+                   ignore_extra_fields=ignore_extra_fields)
+
+    @classmethod
+    def insert(cls, rows: Iterable[Dict[str, Any]], skip_duplicates: bool = False,
+               replace: bool = False, ignore_extra_fields: bool = True, **_):
+        schema = cls._schema
+        conn = schema.connection()
+        heading = cls.heading
+        prepared = []
+        for row in rows:
+            if not isinstance(row, dict):
+                raise TypeError("rows must be dicts")
+            cols, vals = [], []
+            for name, attr in heading.attributes.items():
+                if name in row:
+                    cols.append(name)
+                    vals.append(_to_sql_value(attr, row[name], schema.store))
+                elif attr.in_key:
+                    raise ValueError(f"Missing primary key attribute {name!r} in insert to {cls.__name__}")
+                elif attr.default is None:
+                    raise ValueError(f"Missing required attribute {name!r} in insert to {cls.__name__}")
+            extra = set(row) - set(heading.names)
+            if extra and not ignore_extra_fields:
+                raise ValueError(f"Extra fields {extra} in insert to {cls.__name__}")
+            prepared.append((cols, vals))
+        verb = "INSERT OR REPLACE" if replace else ("INSERT OR IGNORE" if skip_duplicates else "INSERT")
+        with _write_lock(conn):
+            for cols, vals in prepared:
+                collist = ", ".join(f'"{c}"' for c in cols)
+                ph = ", ".join("?" for _ in cols)
+                conn.execute(f'{verb} INTO "{cls.table_name}" ({collist}) VALUES ({ph})', vals)
+
+    @classmethod
+    def drop(cls):
+        conn = cls._schema.connection()
+        conn.execute(f'DROP TABLE IF EXISTS "{cls.table_name}"')
+        cls._schema.tables.pop(cls.__name__, None)
+
+
+class Manual(Table):
+    pass
+
+
+class Lookup(Table):
+    contents: Iterable[Dict[str, Any]] = ()
+
+
+class AutoPopulate(Table):
+    """Base for Computed/Imported: ``populate()`` drives ``make(key)``."""
+
+    @property
+    def key_source(self):
+        cls = type(self)
+        parents = [cls._schema.tables.get(name) for name, in_key in cls.heading.foreign_keys if in_key]
+        parents = [p for p in parents if p is not None]
+        if not parents:
+            raise RuntimeError(f"{cls.__name__} has no primary foreign keys; override key_source")
+        expr = QueryExpression(parents[0])
+        for p in parents[1:]:
+            expr = expr * QueryExpression(p)
+        return expr
+
+    def make(self, key):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    @classmethod
+    def populate(cls, *restrictions, reserve_jobs: bool = False, suppress_errors: bool = False,
+                 limit: Optional[int] = None, display_progress: bool = False, order=None, **_):
+        self = cls()
+        source = self.key_source
+        for r in restrictions:
+            if r is not None:
+                source = source & r
+        todo = source - cls._expr()
+        keys = [{k: row[k] for k in source.primary_key} for row in todo._rows(raw_attach=True)]
+        # de-duplicate (joins can produce repeated key projections)
+        seen, uniq = set(), []
+        for k in keys:
+            h = key_hash(k)
+            if h not in seen:
+                seen.add(h)
+                uniq.append(k)
+        if limit is not None:
+            uniq = uniq[:limit]
+        errors = []
+        schema = cls._schema
+        iterator = uniq
+        if display_progress:
+            try:
+                from tqdm import tqdm
+                iterator = tqdm(uniq, desc=f"populate {cls.__name__}")
+            except ImportError:
+                pass
+        for key in iterator:
+            if reserve_jobs and not schema.jobs_reserve(cls.table_name, key):
+                continue
+            if reserve_jobs and len(cls._expr() & key):
+                # another worker computed this key after our todo snapshot;
+                # release the (now stale) reservation and move on
+                schema.jobs_complete(cls.table_name, key)
+                continue
+            try:
+                self.make(dict(key))
+                if reserve_jobs:
+                    schema.jobs_complete(cls.table_name, key)
+            except Exception as e:  # noqa: BLE001 - mirrors reference suppress_errors
+                if reserve_jobs:
+                    schema.jobs_error(cls.table_name, key, repr(e), traceback.format_exc())
+                if suppress_errors:
+                    errors.append((key, e))
+                else:
+                    if reserve_jobs is False:
+                        raise
+                    raise
+        return errors
+
+    @classmethod
+    def progress(cls) -> Tuple[int, int]:
+        self = cls()
+        total = len(self.key_source)
+        remaining = len(self.key_source - cls._expr())
+        return remaining, total
+
+
+class Computed(AutoPopulate):
+    pass
+
+
+class Imported(AutoPopulate):
+    pass

@@ -1,0 +1,235 @@
+"""Unit tests for the core table engine (Schema / tables / populate / jobs).
+
+Exercises the DataJoint-semantics surface the pipeline layer is written
+against (reference usage: pose_pipeline/pipeline.py, standard_pipelines.py).
+"""
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from posepipeline_tpu.core.engine import Computed, Lookup, Manual, key_hash
+
+
+def make_tables(schema):
+    @schema
+    class Session(Manual):
+        definition = """
+        # A recording session
+        project : varchar(50)
+        session_id : int
+        ---
+        start_time : timestamp
+        notes = NULL : varchar(200)
+        """
+
+    @schema
+    class MethodLookup(Lookup):
+        definition = """
+        method : int
+        ---
+        method_name : varchar(50)
+        """
+        contents = [{"method": 0, "method_name": "alpha"}, {"method": 1, "method_name": "beta"}]
+
+    @schema
+    class MethodChoice(Manual):
+        definition = """
+        -> Session
+        -> MethodLookup
+        """
+
+    @schema
+    class Result(Computed):
+        definition = """
+        -> MethodChoice
+        ---
+        payload : longblob
+        score : float
+        """
+
+        def make(self, key):
+            key = dict(key)
+            key["payload"] = {"arr": np.arange(6).reshape(2, 3), "t": datetime(2026, 1, 1)}
+            key["score"] = float(key["session_id"]) * 2.0
+            self.insert1(key)
+
+    return Session, MethodLookup, MethodChoice, Result
+
+
+def test_insert_fetch_restrict(schema):
+    Session, MethodLookup, MethodChoice, Result = make_tables(schema)
+    Session.insert1({"project": "p1", "session_id": 1, "start_time": datetime(2026, 8, 1, 12, 0)})
+    Session.insert1({"project": "p1", "session_id": 2, "start_time": datetime(2026, 8, 2, 12, 0)})
+    Session.insert1({"project": "p2", "session_id": 1, "start_time": datetime(2026, 8, 3, 12, 0)})
+
+    assert len(Session) == 3
+    assert len(Session & {"project": "p1"}) == 2
+    assert len(Session & 'project="p2"') == 1
+    # extra fields in dict restrictions are ignored (DataJoint semantics)
+    assert len(Session & {"project": "p1", "unrelated": 99}) == 2
+
+    row = (Session & {"project": "p1", "session_id": 1}).fetch1()
+    assert row["start_time"] == datetime(2026, 8, 1, 12, 0)
+    assert row["notes"] is None
+
+    keys = (Session & {"project": "p1"}).fetch("KEY")
+    assert {k["session_id"] for k in keys} == {1, 2}
+
+    with pytest.raises(ValueError):
+        (Session & {"project": "p1"}).fetch1()
+
+
+def test_lookup_contents_and_duplicates(schema):
+    Session, MethodLookup, MethodChoice, Result = make_tables(schema)
+    assert len(MethodLookup) == 2
+    assert (MethodLookup & {"method": 1}).fetch1("method_name") == "beta"
+    # skip_duplicates
+    MethodLookup.insert1({"method": 0, "method_name": "alpha"}, skip_duplicates=True)
+    assert len(MethodLookup) == 2
+
+
+def test_populate_and_key_source(schema):
+    Session, MethodLookup, MethodChoice, Result = make_tables(schema)
+    Session.insert1({"project": "p1", "session_id": 1, "start_time": datetime(2026, 8, 1)})
+    Session.insert1({"project": "p1", "session_id": 2, "start_time": datetime(2026, 8, 2)})
+    MethodChoice.insert1({"project": "p1", "session_id": 1, "method": 0})
+    MethodChoice.insert1({"project": "p1", "session_id": 2, "method": 1})
+
+    assert len(Result().key_source) == 2
+    Result.populate()
+    assert len(Result) == 2
+    # idempotent: already-computed keys are skipped
+    Result.populate()
+    assert len(Result) == 2
+
+    r = (Result & {"session_id": 2}).fetch1()
+    np.testing.assert_array_equal(r["payload"]["arr"], np.arange(6).reshape(2, 3))
+    assert r["payload"]["t"] == datetime(2026, 1, 1)
+    assert r["score"] == 4.0
+
+
+def test_populate_restriction_and_antijoin(schema):
+    Session, MethodLookup, MethodChoice, Result = make_tables(schema)
+    for sid in (1, 2, 3):
+        Session.insert1({"project": "p1", "session_id": sid, "start_time": datetime(2026, 8, sid)})
+        MethodChoice.insert1({"project": "p1", "session_id": sid, "method": 0})
+    Result.populate({"session_id": 1})
+    assert len(Result) == 1
+    remaining = (Session - Result).fetch("KEY")
+    assert {k["session_id"] for k in remaining} == {2, 3}
+    Result.populate()
+    assert len(Session - Result) == 0
+
+
+def test_populate_error_handling_and_jobs(schema):
+    Session, MethodLookup, MethodChoice, Result = make_tables(schema)
+
+    @schema
+    class Fragile(Computed):
+        definition = """
+        -> Session
+        ---
+        value : int
+        """
+
+        def make(self, key):
+            if key["session_id"] == 2:
+                raise RuntimeError("boom")
+            self.insert1(dict(key, value=1))
+
+    for sid in (1, 2, 3):
+        Session.insert1({"project": "p", "session_id": sid, "start_time": datetime(2026, 1, sid)})
+
+    with pytest.raises(RuntimeError):
+        Fragile.populate()
+
+    errors = Fragile.populate(suppress_errors=True)
+    assert len(Fragile) == 2
+    assert len(errors) == 1 and errors[0][0]["session_id"] == 2
+
+    # reserved-jobs path records the error in ~jobs
+    (Fragile & {"session_id": 1}).delete()
+    errors = Fragile.populate(reserve_jobs=True, suppress_errors=True)
+    jobs = schema.jobs()
+    err_jobs = [j for j in jobs if j["status"] == "error"]
+    assert len(err_jobs) == 1
+    assert err_jobs[0]["key"]["session_id"] == 2
+    assert "boom" in err_jobs[0]["error_message"]
+    # a reserved-error key is not retried while its job row exists
+    before = len(Fragile)
+    Fragile.populate(reserve_jobs=True, suppress_errors=True)
+    assert len(Fragile) == before
+
+
+def test_job_reservation_atomicity(schema):
+    key = {"a": 1, "b": "x"}
+    assert schema.jobs_reserve("tbl", key)
+    assert not schema.jobs_reserve("tbl", key)  # second claim fails
+    schema.jobs_complete("tbl", key)
+    assert schema.jobs_reserve("tbl", key)
+
+
+def test_attach_roundtrip(schema, tmp_path):
+    @schema
+    class Media(Manual):
+        definition = """
+        name : varchar(40)
+        ---
+        payload : attach@localattach
+        """
+
+    src = tmp_path / "clip.mp4"
+    src.write_bytes(b"fake-video-bytes")
+    Media.insert1({"name": "a", "payload": str(src)})
+    src.unlink()  # original removed; store holds the copy
+
+    out = (Media & {"name": "a"}).fetch1("payload")
+    assert os.path.isfile(out)
+    with open(out, "rb") as f:
+        assert f.read() == b"fake-video-bytes"
+    os.remove(out)
+
+
+def test_join_and_proj(schema):
+    Session, MethodLookup, MethodChoice, Result = make_tables(schema)
+    Session.insert1({"project": "p1", "session_id": 1, "start_time": datetime(2026, 8, 1)})
+    MethodChoice.insert1({"project": "p1", "session_id": 1, "method": 1})
+    joined = MethodChoice * MethodLookup
+    rows = joined._rows()
+    assert len(rows) == 1
+    assert rows[0]["method_name"] == "beta"
+
+    projected = (Session.proj()).fetch("KEY")
+    assert projected == [{"project": "p1", "session_id": 1}]
+
+
+def test_key_hash_stability():
+    assert key_hash({"b": 2, "a": 1}) == key_hash({"a": 1, "b": 2})
+    assert key_hash({"a": 1}) != key_hash({"a": 2})
+
+
+def test_blob_roundtrip():
+    from posepipeline_tpu.core import blob
+
+    cases = [
+        None, True, False, 42, -1.5, "héllo", b"bytes",
+        datetime(2026, 1, 2, 3, 4, 5),
+        np.float32(3.5),
+        np.arange(24, dtype=np.float64).reshape(2, 3, 4),
+        {"nested": [1, {"x": np.ones((2, 2), dtype=np.int16)}, (1, 2)]},
+        [],
+        {},
+    ]
+    for v in cases:
+        out = blob.unpack(blob.pack(v))
+        if isinstance(v, np.ndarray):
+            np.testing.assert_array_equal(out, v)
+            assert out.dtype == v.dtype
+        elif isinstance(v, dict) and v:
+            np.testing.assert_array_equal(out["nested"][1]["x"], v["nested"][1]["x"])
+            assert out["nested"][2] == (1, 2)
+        else:
+            assert out == v or (v != v and out != out)
