@@ -1,0 +1,157 @@
+"""Synthetic test fixtures: procedurally generated "clinical" videos with
+exact ground-truth boxes and keypoints.
+
+The reference has no automated tests (SURVEY.md §4); its QA protocol is
+notebook-driven plus the Human3.6M ground-truth import
+(reference pose_pipeline/demo/h36_dj.py:118-213). This module gives the new
+framework what the reference lacked: deterministic fixtures where every stage
+(detection, tracking, 2D, lifting, rendering) can be validated against exact
+ground truth without model checkpoints.
+
+A synthetic person is a stick figure (COCO-17 skeleton) walking sinusoidally.
+Each person gets a distinct saturated color so analytic (model-free) backends
+can recover boxes/keypoints exactly — the "fake backend" that exercises the
+table engine end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import List, Optional
+
+import cv2
+import numpy as np
+
+from .media.video import write_video
+
+COCO_JOINT_NAMES = [
+    "Nose", "Left Eye", "Right Eye", "Left Ear", "Right Ear",
+    "Left Shoulder", "Right Shoulder", "Left Elbow", "Right Elbow",
+    "Left Wrist", "Right Wrist", "Left Hip", "Right Hip",
+    "Left Knee", "Right Knee", "Left Ankle", "Right Ankle",
+]
+
+COCO_SKELETON = [
+    (5, 7), (7, 9), (6, 8), (8, 10),       # arms
+    (11, 13), (13, 15), (12, 14), (14, 16),  # legs
+    (5, 6), (11, 12), (5, 11), (6, 12),      # torso
+    (0, 1), (0, 2), (1, 3), (2, 4),          # face
+]
+
+_PERSON_COLORS = [(255, 40, 40), (40, 255, 40), (60, 60, 255), (255, 255, 40)]
+
+
+def stick_figure(center_x: float, center_y: float, scale: float, phase: float) -> np.ndarray:
+    """COCO-17 joint positions (pixels) of a walking stick figure.
+
+    ``scale`` is roughly the person height in pixels; ``phase`` animates gait.
+    """
+    s = scale
+    swing = 0.12 * np.sin(phase)
+    j = np.zeros((17, 2), dtype=np.float64)
+    head_y = center_y - 0.38 * s
+    j[0] = (center_x, head_y)                          # nose
+    j[1] = (center_x - 0.02 * s, head_y - 0.02 * s)    # eyes
+    j[2] = (center_x + 0.02 * s, head_y - 0.02 * s)
+    j[3] = (center_x - 0.045 * s, head_y)              # ears
+    j[4] = (center_x + 0.045 * s, head_y)
+    sh_y = center_y - 0.28 * s
+    j[5] = (center_x - 0.10 * s, sh_y)                 # shoulders
+    j[6] = (center_x + 0.10 * s, sh_y)
+    j[7] = (center_x - 0.13 * s, sh_y + 0.14 * s + swing * s * 0.3)   # elbows
+    j[8] = (center_x + 0.13 * s, sh_y + 0.14 * s - swing * s * 0.3)
+    j[9] = (center_x - 0.14 * s, sh_y + 0.27 * s + swing * s * 0.6)   # wrists
+    j[10] = (center_x + 0.14 * s, sh_y + 0.27 * s - swing * s * 0.6)
+    hip_y = center_y + 0.02 * s
+    j[11] = (center_x - 0.07 * s, hip_y)               # hips
+    j[12] = (center_x + 0.07 * s, hip_y)
+    j[13] = (center_x - 0.07 * s + swing * s, hip_y + 0.20 * s)       # knees
+    j[14] = (center_x + 0.07 * s - swing * s, hip_y + 0.20 * s)
+    j[15] = (center_x - 0.07 * s + 2 * swing * s, hip_y + 0.40 * s)   # ankles
+    j[16] = (center_x + 0.07 * s - 2 * swing * s, hip_y + 0.40 * s)
+    return j
+
+
+def _draw_person(frame: np.ndarray, joints: np.ndarray, color, thickness: int) -> None:
+    for a, b in COCO_SKELETON:
+        pa = tuple(np.round(joints[a]).astype(int))
+        pb = tuple(np.round(joints[b]).astype(int))
+        cv2.line(frame, pa, pb, color, thickness)
+    for (x, y) in joints:
+        cv2.circle(frame, (int(round(x)), int(round(y))), max(2, thickness), color, -1)
+    # head disc (gives the face-blur path something nose/neck shaped)
+    cv2.circle(frame, tuple(np.round(joints[0]).astype(int)), thickness * 3, color, -1)
+
+
+class SyntheticClip:
+    """Ground truth container for one synthetic clip."""
+
+    def __init__(self, path, fps, width, height, keypoints, bboxes, colors):
+        self.path = path
+        self.fps = fps
+        self.width = width
+        self.height = height
+        self.keypoints = keypoints   # (T, N, 17, 2) float pixels
+        self.bboxes = bboxes         # (T, N, 4) TLHW float
+        self.colors = colors         # per-person RGB
+
+    @property
+    def num_frames(self):
+        return self.keypoints.shape[0]
+
+    @property
+    def num_people(self):
+        return self.keypoints.shape[1]
+
+
+def synthetic_video(
+    num_frames: int = 60,
+    width: int = 640,
+    height: int = 480,
+    num_people: int = 1,
+    fps: float = 30.0,
+    seed: int = 0,
+    path: Optional[str] = None,
+    noise: float = 0.0,
+) -> SyntheticClip:
+    """Render a walking-stick-figure clip and return it with ground truth."""
+    rng = np.random.default_rng(seed)
+    if path is None:
+        fd, path = tempfile.mkstemp(suffix=".mp4")
+        os.close(fd)
+
+    scales = rng.uniform(0.35, 0.5, num_people) * height
+    x0 = rng.uniform(0.2, 0.8, num_people) * width
+    y0 = np.full(num_people, 0.52) * height
+    vx = rng.uniform(-2.0, 2.0, num_people)
+    phase0 = rng.uniform(0, 2 * np.pi, num_people)
+
+    all_joints = np.zeros((num_frames, num_people, 17, 2))
+    frames: List[np.ndarray] = []
+    for t in range(num_frames):
+        frame = np.full((height, width, 3), 16, dtype=np.uint8)
+        if noise > 0:
+            frame = np.clip(
+                frame.astype(np.int16) + rng.integers(-int(noise), int(noise) + 1, frame.shape),
+                0, 255).astype(np.uint8)
+        for p in range(num_people):
+            cx = x0[p] + vx[p] * t
+            cx = np.clip(cx, 0.15 * width, 0.85 * width)
+            joints = stick_figure(cx, y0[p], scales[p], phase0[p] + 0.25 * t)
+            all_joints[t, p] = joints
+            _draw_person(frame, joints, _PERSON_COLORS[p % len(_PERSON_COLORS)],
+                         thickness=max(2, int(scales[p] / 60)))
+        frames.append(frame)
+
+    # TLHW ground-truth boxes with a margin covering limb/round-cap thickness
+    margin = np.maximum(4.0, scales / 20.0)[None, :, None]
+    mins = all_joints.min(axis=2) - margin  # (T, N, 2)
+    maxs = all_joints.max(axis=2) + margin
+    tl = mins
+    hw = maxs - mins
+    bboxes = np.concatenate([tl, hw], axis=-1)  # (T, N, 4) = (x, y, w, h)
+
+    write_video(iter(frames), path, fps=fps)
+    colors = [_PERSON_COLORS[p % len(_PERSON_COLORS)] for p in range(num_people)]
+    return SyntheticClip(path, fps, width, height, all_joints, bboxes, colors)
