@@ -1,0 +1,226 @@
+"""2D→3D temporal lifting models (VideoPose3D-family, TPU-native).
+
+Fills the reference ``LiftingMethodLookup`` registry (pipeline.py:1224-1247):
+GastNet (rf 27), VideoPose3D (rf 243), PoseAug (single frame), plus the
+PoseFormer transformer slot (wrappers/poseformer.py, rf 81).
+
+The reference implementations chunk long videos on the CPU
+(``ChunkedGenerator`` pads ±121 frames, wrappers/videopose3d.py:62-75) and run
+torch convs batch-32. Here lifting is a stack of **dilated temporal
+convolutions over the whole sequence at once** (one XLA program, time as a
+spatial axis), and long videos shard the time axis across a device mesh with
+ICI halo exchange (parallel/temporal.py) — the context-parallel formulation of
+the same math (exact, since convs are linear in the halo).
+
+Also includes the COCO→H36M joint conversion every lifter needs
+(semantics of wrappers/poseaug.py:9-47 / poseformer.py:19-53) and screen
+normalization (videopose3d.py:27-33).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .layers import TransformerBlock
+
+H36M_JOINT_NAMES = [
+    "Hip", "Right hip", "Right knee", "Right foot",
+    "Left hip", "Left knee", "Left foot",
+    "Spine", "Thorax", "Nose", "Head",
+    "Left shoulder", "Left elbow", "Left wrist",
+    "Right shoulder", "Right elbow", "Right wrist",
+]
+
+
+def coco_to_h36m(keypoints):
+    """COCO-17 (x, y, conf) → H36M-17 ordering with synthesized torso joints.
+
+    Standard conversion used by all the reference lifters: hip/spine/thorax
+    are midpoints, head is the midpoint of the ears. Works on (..., 17, 3).
+    """
+    kp = jnp.asarray(keypoints, jnp.float32)
+    mid = lambda a, b: (kp[..., a, :] + kp[..., b, :]) / 2.0
+    hip = mid(11, 12)
+    thorax = mid(5, 6)
+    spine = (hip + thorax) / 2.0
+    head = mid(3, 4)
+    order = dict(
+        rhip=kp[..., 12, :], rknee=kp[..., 14, :], rfoot=kp[..., 16, :],
+        lhip=kp[..., 11, :], lknee=kp[..., 13, :], lfoot=kp[..., 15, :],
+        nose=kp[..., 0, :],
+        lshoulder=kp[..., 5, :], lelbow=kp[..., 7, :], lwrist=kp[..., 9, :],
+        rshoulder=kp[..., 6, :], relbow=kp[..., 8, :], rwrist=kp[..., 10, :],
+    )
+    return jnp.stack([
+        hip, order["rhip"], order["rknee"], order["rfoot"],
+        order["lhip"], order["lknee"], order["lfoot"],
+        spine, thorax, order["nose"], head,
+        order["lshoulder"], order["lelbow"], order["lwrist"],
+        order["rshoulder"], order["relbow"], order["rwrist"],
+    ], axis=-2)
+
+
+def normalize_screen_coordinates(x, w: float, h: float):
+    """Pixel coords → [-1, 1] preserving aspect (videopose3d.py:27-33 semantics)."""
+    x = jnp.asarray(x, jnp.float32)
+    return x / w * 2.0 - jnp.asarray([1.0, h / w], jnp.float32)
+
+
+@dataclass(frozen=True)
+class LifterConfig:
+    name: str
+    filter_widths: Tuple[int, ...] = (3, 3, 3, 3, 3)   # rf = prod = 243
+    channels: int = 1024
+    in_joints: int = 17
+    out_joints: int = 17
+
+    @property
+    def receptive_field(self) -> int:
+        rf = 1
+        for w in self.filter_widths:
+            rf *= w
+        return rf
+
+
+class TemporalLifter(nn.Module):
+    """Dilated temporal conv lifter.
+
+    Input (B, T, J*2) normalized 2D keypoints → (B, T, J, 3) relative 3D.
+    'SAME' zero padding keeps T static (equivalent to the reference's
+    ±(rf−1)/2 edge padding in ChunkedGenerator).
+    """
+
+    cfg: LifterConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        x = x.astype(self.dtype)
+        dn = ("NWC", "WIO", "NWC")
+        conv = functools.partial(nn.Conv, padding="SAME", use_bias=False, dtype=self.dtype)
+        x = conv(c.channels, (c.filter_widths[0],))(x)
+        x = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+        x = nn.relu(x)
+        dilation = c.filter_widths[0]
+        for w in c.filter_widths[1:]:
+            res = x
+            y = conv(c.channels, (w,), kernel_dilation=(dilation,))(x)
+            y = nn.LayerNorm(dtype=jnp.float32)(y).astype(self.dtype)
+            y = nn.relu(y)
+            y = conv(c.channels, (1,))(y)
+            y = nn.LayerNorm(dtype=jnp.float32)(y).astype(self.dtype)
+            y = nn.relu(y)
+            x = res + y
+            dilation *= w
+        x = nn.Dense(c.out_joints * 3, dtype=jnp.float32)(x)
+        B, T, _ = x.shape
+        return x.reshape(B, T, c.out_joints, 3)
+
+
+class SingleFrameLifter(nn.Module):
+    """Residual-MLP per-frame lifter (PoseAug/ST-GCN slot, single-frame)."""
+
+    cfg: LifterConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        x = x.astype(self.dtype)
+        x = nn.Dense(c.channels, dtype=self.dtype)(x)
+        for _ in range(2):
+            res = x
+            y = nn.Dense(c.channels, dtype=self.dtype)(x)
+            y = nn.LayerNorm(dtype=jnp.float32)(y).astype(self.dtype)
+            y = nn.relu(y)
+            y = nn.Dense(c.channels, dtype=self.dtype)(y)
+            x = nn.relu(res + y)
+        x = nn.Dense(c.out_joints * 3, dtype=jnp.float32)(x)
+        B, T, _ = x.shape
+        return x.reshape(B, T, c.out_joints, 3)
+
+
+class TransformerLifter(nn.Module):
+    """Temporal transformer lifter (PoseFormer slot): attention over frames."""
+
+    cfg: LifterConfig
+    dim: int = 256
+    depth: int = 4
+    num_heads: int = 8
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        B, T, _ = x.shape
+        x = nn.Dense(self.dim, dtype=self.dtype)(x.astype(self.dtype))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, 4096, self.dim))
+        x = x + jax.lax.dynamic_slice_in_dim(pos, 0, T, axis=1).astype(self.dtype)
+        for _ in range(self.depth):
+            x = TransformerBlock(self.num_heads, dtype=self.dtype)(x)
+        x = nn.Dense(c.out_joints * 3, dtype=jnp.float32)(x)
+        return x.reshape(B, T, c.out_joints, 3)
+
+
+LIFTER_CONFIGS = {
+    # registry names mirror LiftingMethodLookup (pipeline.py:1224-1239)
+    "VideoPose3D": ("temporal", LifterConfig("VideoPose3D", (3, 3, 3, 3, 3), 1024)),
+    "GastNet": ("temporal", LifterConfig("GastNet", (3, 3, 3), 512)),
+    "PoseAug": ("mlp", LifterConfig("PoseAug", (1,), 1024)),
+    "RIE": ("temporal", LifterConfig("RIE", (3, 3, 3), 512)),
+    "PoseFormer": ("transformer", LifterConfig("PoseFormer", (3, 3, 3, 3), 256)),
+}
+
+
+class LiftingModel:
+    """Bundled lifter: pixel-space 2D COCO keypoints → H36M 3D keypoints."""
+
+    def __init__(self, name: str = "VideoPose3D", params=None, seed: int = 0):
+        kind, cfg = LIFTER_CONFIGS[name]
+        self.cfg = cfg
+        self.kind = kind
+        if kind == "temporal":
+            self.net = TemporalLifter(cfg)
+        elif kind == "mlp":
+            self.net = SingleFrameLifter(cfg)
+        else:
+            self.net = TransformerLifter(cfg)
+        if params is None:
+            dummy = jnp.zeros((1, max(cfg.receptive_field, 8), cfg.in_joints * 2), jnp.float32)
+            params = self.net.init(jax.random.PRNGKey(seed), dummy)
+        self.params = params
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _infer(self, params, kp2d_normalized):
+        B, T, J, _ = kp2d_normalized.shape
+        x = kp2d_normalized.reshape(B, T, J * 2)
+        # Canonical edge handling: pad the *input sequence* by rf//2 zeros and
+        # crop (the ChunkedGenerator convention, videopose3d.py:62-75). This
+        # also makes time-sharded inference (parallel/temporal.py) bit-exact:
+        # its global-edge halos are zero input frames, not zero activations.
+        halo = self.cfg.receptive_field // 2
+        if self.kind == "temporal" and halo > 0:
+            x = jnp.pad(x, ((0, 0), (halo, halo), (0, 0)))
+            return self.net.apply(params, x)[:, halo:-halo]
+        return self.net.apply(params, x)
+
+    def __call__(self, keypoints_2d, width: float, height: float,
+                 already_h36m: bool = False):
+        """keypoints_2d: (T, 17, 3) pixel-space COCO (or H36M) keypoints.
+
+        Returns (keypoints_3d (T, 17, 3), keypoints_valid (T,)).
+        """
+        kp = jnp.asarray(keypoints_2d, jnp.float32)
+        valid = kp[..., 2].mean(axis=-1) > 0.0
+        h36m = kp if already_h36m else coco_to_h36m(kp)
+        xy = normalize_screen_coordinates(h36m[..., :2], width, height)
+        out = self._infer(self.params, xy[None])[0]
+        return out, valid

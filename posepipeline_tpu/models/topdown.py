@@ -1,0 +1,110 @@
+"""Top-down 2D keypoint models: crop → heatmaps → sub-pixel keypoints.
+
+Fills the reference's ``TopDownMethodLookup`` registry slots
+(reference pipeline.py:977-998: MMPose/HRNet-W48 COCO, Wholebody, Halpe,
+HRFormer, TCFormer; wrapper at wrappers/mmpose.py:26-81). The reference runs
+one crop at a time through external torch models; here a single Flax module
+runs the whole (batch, 256, 192, 3) crop tensor through a ViT (or conv)
+backbone + deconv head on the MXU, and the fused DARK decode
+(ops/heatmap.py) emits image-space keypoints.
+
+Checkpoint parity: these are freshly-initialized TPU-native architectures, not
+weight ports; ``tools/convert_weights.py`` maps torch state dicts for the
+matching configs when checkpoints are available.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.heatmap import decode_heatmaps
+from ..ops.warp import crop_image_bbox, normalize_imagenet
+from .layers import ConvBackbone, DeconvHead, ViT
+
+
+@dataclass(frozen=True)
+class TopDownConfig:
+    name: str
+    num_joints: int
+    input_hw: Tuple[int, int] = (256, 192)
+    heatmap_hw: Tuple[int, int] = (64, 48)
+    backbone: str = "vit"      # "vit" | "conv"
+    dim: int = 384
+    depth: int = 8
+    num_heads: int = 6
+
+
+class TopDownNet(nn.Module):
+    """crop images (B, H, W, 3) normalized → heatmaps (B, h, w, J)."""
+
+    cfg: TopDownConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        if c.backbone == "vit":
+            feats = ViT(dim=c.dim, depth=c.depth, num_heads=c.num_heads,
+                        dtype=self.dtype)(x.astype(self.dtype))
+        else:
+            feats = ConvBackbone(dtype=self.dtype)(x.astype(self.dtype))[-2]
+        # backbone stride 16 → two 2× deconvs → stride 4 (64×48 from 256×192)
+        hm = DeconvHead(c.num_joints, num_deconvs=2, dtype=self.dtype)(feats)
+        return hm
+
+
+class TopDownModel:
+    """Bundled config + params + jitted end-to-end apply."""
+
+    def __init__(self, cfg: TopDownConfig, params=None, seed: int = 0):
+        self.cfg = cfg
+        self.net = TopDownNet(cfg)
+        if params is None:
+            dummy = jnp.zeros((1, *cfg.input_hw, 3), jnp.float32)
+            params = self.net.init(jax.random.PRNGKey(seed), dummy)
+        self.params = params
+
+    def heatmaps(self, crops_normalized):
+        return self.net.apply(self.params, crops_normalized)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _infer(self, params, frames, bboxes):
+        crops, fixed = crop_image_bbox(
+            frames, bboxes, target_size=(self.cfg.input_hw[1], self.cfg.input_hw[0]))
+        x = normalize_imagenet(crops)
+        hm = self.net.apply(params, x)           # (B, h, w, J)
+        hm = jnp.transpose(hm, (0, 3, 1, 2))     # (B, J, h, w)
+        return decode_heatmaps(hm, fixed)
+
+    def __call__(self, frames, bboxes):
+        """frames (B, H, W, 3) uint8 + TLHW boxes (B, 4) → keypoints (B, J, 3)."""
+        return self._infer(self.params, frames, bboxes)
+
+
+# Registry: reference method name → architecture config.
+# Joint counts follow the reference joint_names() tables (pipeline.py:1097-1141).
+TOPDOWN_CONFIGS = {
+    "MMPose": TopDownConfig("MMPose", num_joints=17),                    # HRNet_W48_COCO slot
+    "MMPoseWholebody": TopDownConfig("MMPoseWholebody", num_joints=133),
+    "MMPoseHalpe": TopDownConfig("MMPoseHalpe", num_joints=136),
+    "MMPoseHrformerCoco": TopDownConfig("MMPoseHrformerCoco", num_joints=17,
+                                        dim=512, depth=10, num_heads=8),
+    "MMPoseTCFormerWholebody": TopDownConfig("MMPoseTCFormerWholebody", num_joints=133,
+                                             dim=512, depth=10, num_heads=8),
+    "ConvBaseline": TopDownConfig("ConvBaseline", num_joints=17, backbone="conv"),
+}
+
+_model_cache = {}
+
+
+def get_topdown_model(name: str) -> TopDownModel:
+    if name not in _model_cache:
+        cfg = TOPDOWN_CONFIGS[name]
+        _model_cache[name] = TopDownModel(cfg)
+    return _model_cache[name]
