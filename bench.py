@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: decode → detect → 2D → 3D frames/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the north-star target from BASELINE.json — >10× realtime on 1080p
+clinical video per TPU v5e chip = 300 frames/sec (30 fps video). The reference
+itself publishes no numbers (BASELINE.md); its design is per-frame batch-1 GPU
+inference.
+
+The measured path is the full streaming pipeline: host decode threads →
+fused detect+crop+2D XLA program per batch → temporal 3D lift per video.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from posepipeline_tpu.models.init_util import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from posepipeline_tpu.runtime.stream import BandwidthOptimizedPoseEstimator, StreamingRunner
+    from posepipeline_tpu.models.lifting import LiftingModel
+    from posepipeline_tpu.testing import synthetic_video
+
+    # 1080p clinical-style clip
+    height, width = 1080, 1920
+    num_frames = int(os.environ.get("BENCH_FRAMES", "96"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    clip = synthetic_video(num_frames=num_frames, width=width, height=height,
+                           num_people=1, seed=0)
+
+    est = BandwidthOptimizedPoseEstimator(input_hw=(height, width))
+    lifter = LiftingModel("GastNet")
+    runner = StreamingRunner(estimator=est, lifter=lifter, batch_size=batch)
+
+    # warmup: compile detection + pose programs + the lifter
+    warm = np.zeros((batch, height, width, 3), np.uint8)
+    est.submit(warm)
+    est.flush()
+    kp_w = np.zeros((num_frames, 17, 3), np.float32)
+    lifter(kp_w, width, height)
+
+    t0 = time.perf_counter()
+    results = runner.run([clip.path], lift=True)
+    elapsed = time.perf_counter() - t0
+
+    frames = len(results[0]["keypoints2d"])
+    fps = frames / elapsed
+    baseline = 300.0  # 10x realtime @ 30fps, BASELINE.json north star
+    print(json.dumps({
+        "metric": "e2e_decode_detect_2d_3d_fps_1080p",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline, 4),
+    }))
+    os.remove(clip.path)
+
+
+if __name__ == "__main__":
+    main()

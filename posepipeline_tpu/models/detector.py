@@ -93,7 +93,8 @@ class PersonDetector:
         self.net = CenterDetNet(cfg)
         if params is None:
             dummy = jnp.zeros((1, *input_hw, 3), jnp.float32)
-            params = self.net.init(jax.random.PRNGKey(seed), dummy)
+            from .init_util import init_on_cpu
+            params = init_on_cpu(self.net.init, jax.random.PRNGKey(seed), dummy)
         self.params = params
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -131,7 +132,8 @@ class ReIDModel:
         self.crop_hw = crop_hw
         if params is None:
             dummy = jnp.zeros((1, *crop_hw, 3), jnp.float32)
-            params = self.net.init(jax.random.PRNGKey(seed), dummy)
+            from .init_util import init_on_cpu
+            params = init_on_cpu(self.net.init, jax.random.PRNGKey(seed), dummy)
         self.params = params
 
     @functools.partial(jax.jit, static_argnums=0)

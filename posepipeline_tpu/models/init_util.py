@@ -1,0 +1,30 @@
+"""Model initialization helpers.
+
+``init_on_cpu`` runs flax ``Module.init`` on the host CPU backend when one is
+available: initializer programs are many tiny ops, which is pathological
+through a remote-accelerator link (measured ~150 s for a ViT init via the
+tunnel vs <1 s on host). Parameters transfer to the accelerator lazily on
+first use inside the jitted apply.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def init_on_cpu(init_fn, *args, **kwargs):
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return init_fn(*args, **kwargs)
+    with jax.default_device(cpu):
+        return init_fn(*args, **kwargs)
+
+
+def enable_compilation_cache(path: str = "/tmp/jax_compilation_cache") -> None:
+    """Persistent XLA compilation cache (big win when compiles are remote)."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -195,7 +195,8 @@ class LiftingModel:
             self.net = TransformerLifter(cfg)
         if params is None:
             dummy = jnp.zeros((1, max(cfg.receptive_field, 8), cfg.in_joints * 2), jnp.float32)
-            params = self.net.init(jax.random.PRNGKey(seed), dummy)
+            from .init_util import init_on_cpu
+            params = init_on_cpu(self.net.init, jax.random.PRNGKey(seed), dummy)
         self.params = params
 
     @functools.partial(jax.jit, static_argnums=0)

@@ -1,0 +1,150 @@
+"""Mesh-recovery regressors: person crops → SMPL (pose, betas, cam) sequences.
+
+Fills the reference ``SMPLMethodLookup`` registry (pipeline.py:1514-1530:
+VIBE, MEVA, ProHMR, Expose, PARE, PIXIE, ProHMR_MMPose, HybrIK) with one
+TPU-native family: a conv feature extractor over batched crops + iterative
+regression head (HMR-style) + optional temporal conv smoothing (the VIBE/MEVA
+temporal slot). Per-method configs vary capacity and temporal context; all
+emit the reference SMPLPerson contract (model_type, cams, poses, betas,
+joints3d, joints2d — pipeline.py:1556-1620).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ConvBackbone, ConvBlock
+from .smpl_body import BodyModel, project_weak_perspective, rotation_6d_to_matrix
+
+
+@dataclass(frozen=True)
+class MeshRegressorConfig:
+    name: str
+    temporal: bool = True            # temporal smoothing over the track
+    feature_dim: int = 512
+    n_betas: int = 10
+    num_iterations: int = 3          # iterative error feedback steps
+    temporal_kernel: int = 9
+
+
+class CropEncoder(nn.Module):
+    """Person crop (224×224) → feature vector (MXU conv stack)."""
+
+    dim: int = 512
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        feats = ConvBackbone(widths=(64, 128, 256, 512), dtype=self.dtype)(x)
+        x = jnp.mean(feats[-1], axis=(1, 2))
+        return nn.Dense(self.dim, dtype=jnp.float32)(x)
+
+
+class IterativeRegressor(nn.Module):
+    """HMR-style iterative-error-feedback head → (pose 24×6d, betas, cam)."""
+
+    cfg: MeshRegressorConfig
+
+    @nn.compact
+    def __call__(self, feats):
+        B = feats.shape[0]
+        npose = 24 * 6
+        init_pose = self.param("init_pose", nn.initializers.zeros, (1, npose))
+        init_betas = self.param("init_betas", nn.initializers.zeros, (1, self.cfg.n_betas))
+        init_cam = self.param("init_cam", nn.initializers.constant(0.9), (1, 3))
+        pose = jnp.tile(init_pose, (B, 1))
+        betas = jnp.tile(init_betas, (B, 1))
+        cam = jnp.tile(init_cam, (B, 1))
+        mlp1 = nn.Dense(1024)
+        mlp2 = nn.Dense(1024)
+        dec_pose = nn.Dense(npose, kernel_init=nn.initializers.normal(0.01))
+        dec_betas = nn.Dense(self.cfg.n_betas, kernel_init=nn.initializers.normal(0.01))
+        dec_cam = nn.Dense(3, kernel_init=nn.initializers.normal(0.01))
+        for _ in range(self.cfg.num_iterations):
+            x = jnp.concatenate([feats, pose, betas, cam], axis=-1)
+            x = nn.relu(mlp1(x))
+            x = nn.relu(mlp2(x))
+            pose = pose + dec_pose(x)
+            betas = betas + dec_betas(x)
+            cam = cam + dec_cam(x)
+        # identity-biased 6D rotations
+        id6 = jnp.tile(jnp.asarray([1, 0, 0, 0, 1, 0], jnp.float32), (24,))
+        return pose + id6, betas, cam
+
+
+class TemporalSmoother(nn.Module):
+    """Temporal conv over per-frame features (the VIBE GRU slot, TPU-style)."""
+
+    kernel: int = 9
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, D)
+        res = x
+        x = nn.Conv(x.shape[-1], (self.kernel,), padding="SAME")(x)
+        x = nn.relu(x)
+        x = nn.Conv(x.shape[-1], (1,))(x)
+        return res + x
+
+
+class MeshRegressorNet(nn.Module):
+    cfg: MeshRegressorConfig
+
+    @nn.compact
+    def __call__(self, crops_seq):
+        """(T, H, W, 3) normalized crops → (pose6d (T, 24, 6), betas, cam)."""
+        feats = CropEncoder(self.cfg.feature_dim)(crops_seq)
+        if self.cfg.temporal:
+            feats = TemporalSmoother(self.cfg.temporal_kernel)(feats[None])[0]
+        pose6d, betas, cam = IterativeRegressor(self.cfg)(feats)
+        return pose6d.reshape(-1, 24, 6), betas, cam
+
+
+MESH_METHOD_CONFIGS = {
+    # reference SMPLMethodLookup names (pipeline.py:1514-1530)
+    "VIBE": MeshRegressorConfig("VIBE", temporal=True),
+    "MEVA": MeshRegressorConfig("MEVA", temporal=True, temporal_kernel=13),
+    "ProHMR": MeshRegressorConfig("ProHMR", temporal=False),
+    "Expose": MeshRegressorConfig("Expose", temporal=False),
+    "PARE": MeshRegressorConfig("PARE", temporal=False, feature_dim=768),
+    "PIXIE": MeshRegressorConfig("PIXIE", temporal=False),
+    "ProHMR_MMPose": MeshRegressorConfig("ProHMR_MMPose", temporal=False),
+    "HybrIK": MeshRegressorConfig("HybrIK", temporal=False, num_iterations=1),
+}
+
+
+class MeshRecoveryModel:
+    """Bundled regressor + body model: crops → SMPL sequence outputs."""
+
+    def __init__(self, method: str = "VIBE", params=None, seed: int = 0,
+                 crop_hw: Tuple[int, int] = (224, 224)):
+        self.cfg = MESH_METHOD_CONFIGS[method]
+        self.net = MeshRegressorNet(self.cfg)
+        self.crop_hw = crop_hw
+        self.body = BodyModel()
+        if params is None:
+            dummy = jnp.zeros((2, *crop_hw, 3), jnp.float32)
+            from .init_util import init_on_cpu
+            params = init_on_cpu(self.net.init, jax.random.PRNGKey(seed), dummy)
+        self.params = params
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _infer(self, params, crops):
+        pose6d, betas, cam = self.net.apply(params, crops)
+        R = rotation_6d_to_matrix(pose6d)
+        verts, joints3d = self.body._forward(
+            betas, R, jnp.zeros((betas.shape[0], 3), jnp.float32))
+        joints2d = project_weak_perspective(joints3d, cam)
+        return pose6d, betas, cam, joints3d, joints2d, verts
+
+    def __call__(self, crops_normalized):
+        """crops (T, H, W, 3) float → dict of SMPLPerson fields (no verts)."""
+        pose6d, betas, cam, joints3d, joints2d, verts = self._infer(
+            self.params, crops_normalized)
+        return dict(poses=pose6d, betas=betas, cams=cam,
+                    joints3d=joints3d, joints2d=joints2d, verts=verts)

@@ -1,0 +1,246 @@
+"""SMPL-family body model: linear blend skinning in JAX + rotation utilities.
+
+The reference treats SMPL as an opaque dependency of its 8 wrapped mesh-
+recovery repos (VIBE/MEVA/ProHMR/ExPose/PARE/PIXIE/HybrIK; SMPLPerson at
+pipeline.py:1533-1654, joint-map utilities at utils/smpl.py:6-105). Here the
+body model itself is a first-class batched XLA program:
+
+    (betas, pose, transl) → LBS → (vertices, joints)
+
+Loads standard SMPL .npz parameter files when available; ships with a
+procedural ``toy_body_model`` (same tensor layout, low-poly) so every code
+path runs and is testable without the licensed asset.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SMPL_JOINT_NAMES = [
+    "Pelvis", "Left Hip", "Right Hip", "Spine1", "Left Knee", "Right Knee",
+    "Spine2", "Left Ankle", "Right Ankle", "Spine3", "Left Foot", "Right Foot",
+    "Neck", "Left Collar", "Right Collar", "Head", "Left Shoulder",
+    "Right Shoulder", "Left Elbow", "Right Elbow", "Left Wrist", "Right Wrist",
+    "Left Hand", "Right Hand",
+]
+
+SMPL_PARENTS = np.array([-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9,
+                         12, 13, 14, 16, 17, 18, 19, 20, 21])
+
+
+def rodrigues(rotvecs):
+    """Axis-angle (..., 3) → rotation matrices (..., 3, 3), batched.
+
+    Gradient-safe at the zero rotation (‖r‖ has a singular derivative at 0,
+    which NaNs optimization loops like the motion-prior fit): the norm is
+    computed through a clamped square, giving finite gradients everywhere.
+    """
+    rotvecs = jnp.asarray(rotvecs, jnp.float32)
+    sq = jnp.sum(rotvecs**2, axis=-1, keepdims=True)
+    angle = jnp.sqrt(jnp.maximum(sq, 1e-12))
+    axis = rotvecs / angle
+    ca = jnp.cos(angle)[..., None]
+    sa = jnp.sin(angle)[..., None]
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    zeros = jnp.zeros_like(x)
+    K = jnp.stack([zeros, -z, y, z, zeros, -x, -y, x, zeros], axis=-1)
+    K = K.reshape(rotvecs.shape[:-1] + (3, 3))
+    eye = jnp.eye(3, dtype=jnp.float32)
+    return ca * eye + sa * K + (1 - ca) * jnp.einsum("...i,...j->...ij", axis, axis)
+
+
+def rotation_6d_to_matrix(d6):
+    """6D rotation (Zhou et al.) → matrices (..., 3, 3)
+    (reference utils/smpl.py rotation_6d_to_matrix semantics)."""
+    d6 = jnp.asarray(d6, jnp.float32)
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-8)
+    b2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-8)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)
+
+
+def matrix_to_axis_angle(R):
+    """Rotation matrices (..., 3, 3) → axis-angle (..., 3)
+    (the reference's batch_rot2aa role, wrappers/prohmr.py:15-56)."""
+    R = jnp.asarray(R, jnp.float32)
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    angle = jnp.arccos(jnp.clip((trace - 1) / 2, -1 + 1e-7, 1 - 1e-7))
+    axis = jnp.stack([R[..., 2, 1] - R[..., 1, 2],
+                      R[..., 0, 2] - R[..., 2, 0],
+                      R[..., 1, 0] - R[..., 0, 1]], axis=-1)
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-8)
+    return axis * angle[..., None]
+
+
+@dataclass
+class BodyModelParams:
+    v_template: np.ndarray       # (V, 3)
+    shapedirs: np.ndarray        # (V, 3, n_betas)
+    posedirs: np.ndarray         # (V, 3, 207)
+    J_regressor: np.ndarray      # (24, V)
+    lbs_weights: np.ndarray      # (V, 24)
+    parents: np.ndarray = field(default_factory=lambda: SMPL_PARENTS.copy())
+    faces: Optional[np.ndarray] = None
+    model_type: str = "smpl"
+
+
+def load_smpl_npz(path: str) -> BodyModelParams:
+    """Load a standard SMPL .npz/.pkl-converted parameter file."""
+    data = np.load(path, allow_pickle=True)
+    return BodyModelParams(
+        v_template=np.asarray(data["v_template"], np.float32),
+        shapedirs=np.asarray(data["shapedirs"], np.float32)[..., :10],
+        posedirs=np.asarray(data["posedirs"], np.float32).reshape(
+            len(data["v_template"]), 3, -1),
+        J_regressor=np.asarray(data["J_regressor"], np.float32),
+        lbs_weights=np.asarray(data["weights"], np.float32),
+        parents=np.asarray(data.get("kintree_table", SMPL_PARENTS))[0]
+        if "kintree_table" in data else SMPL_PARENTS.copy(),
+        faces=np.asarray(data["f"], np.int32) if "f" in data else None,
+    )
+
+
+def toy_body_model(num_vertices: int = 512, n_betas: int = 10, seed: int = 0) -> BodyModelParams:
+    """Procedural low-poly body with the exact SMPL tensor layout.
+
+    Joint tree/positions approximate a T-pose human (meters); vertices sample
+    around bones; skinning weights fall off with distance to the two nearest
+    joints. Deterministic.
+    """
+    rng = np.random.default_rng(seed)
+    # T-pose joint positions (x right, y up, z forward), meters
+    J = np.zeros((24, 3), np.float32)
+    J[0] = [0, 0.95, 0]
+    J[1] = [-0.09, 0.9, 0]; J[2] = [0.09, 0.9, 0]
+    J[3] = [0, 1.05, 0]
+    J[4] = [-0.1, 0.5, 0]; J[5] = [0.1, 0.5, 0]
+    J[6] = [0, 1.15, 0]
+    J[7] = [-0.1, 0.1, 0]; J[8] = [0.1, 0.1, 0]
+    J[9] = [0, 1.25, 0]
+    J[10] = [-0.1, 0.03, 0.1]; J[11] = [0.1, 0.03, 0.1]
+    J[12] = [0, 1.4, 0]
+    J[13] = [-0.08, 1.35, 0]; J[14] = [0.08, 1.35, 0]
+    J[15] = [0, 1.55, 0]
+    J[16] = [-0.18, 1.38, 0]; J[17] = [0.18, 1.38, 0]
+    J[18] = [-0.45, 1.38, 0]; J[19] = [0.45, 1.38, 0]
+    J[20] = [-0.7, 1.38, 0]; J[21] = [0.7, 1.38, 0]
+    J[22] = [-0.78, 1.38, 0]; J[23] = [0.78, 1.38, 0]
+
+    # vertices sampled along bones with radial offsets
+    bones = [(j, SMPL_PARENTS[j]) for j in range(1, 24)]
+    verts = []
+    for j, p in bones:
+        t = rng.uniform(0, 1, (num_vertices // len(bones), 1))
+        base = J[p] * (1 - t) + J[j] * t
+        verts.append(base + rng.normal(0, 0.03, base.shape))
+    v_template = np.concatenate(verts).astype(np.float32)[:num_vertices]
+    while len(v_template) < num_vertices:
+        v_template = np.concatenate([v_template, v_template[: num_vertices - len(v_template)]])
+    V = num_vertices
+
+    # skinning: softmax over negative distance to joints
+    d = np.linalg.norm(v_template[:, None] - J[None], axis=-1)
+    w = np.exp(-d / 0.05)
+    order = np.argsort(-w, axis=1)
+    mask = np.zeros_like(w)
+    np.put_along_axis(mask, order[:, :2], 1.0, axis=1)  # 2 nearest joints
+    w = w * mask
+    lbs_weights = (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
+
+    # J_regressor: inverse-distance weights normalized per joint
+    jr = np.exp(-d.T / 0.03)
+    J_regressor = (jr / jr.sum(axis=1, keepdims=True)).astype(np.float32)
+
+    shapedirs = rng.normal(0, 0.005, (V, 3, n_betas)).astype(np.float32)
+    posedirs = rng.normal(0, 0.0005, (V, 3, 207)).astype(np.float32)
+    return BodyModelParams(v_template, shapedirs, posedirs, J_regressor, lbs_weights)
+
+
+class BodyModel:
+    """Batched SMPL LBS forward pass (jitted)."""
+
+    def __init__(self, params: Optional[BodyModelParams] = None, model_path: Optional[str] = None):
+        if params is None:
+            path = model_path or os.environ.get("SMPL_MODEL_PATH", "")
+            params = load_smpl_npz(path) if path and os.path.isfile(path) else toy_body_model()
+        self.p = params
+        self.num_vertices = len(params.v_template)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _forward(self, betas, pose_rotmats, transl):
+        p = self.p
+        B = betas.shape[0]
+        v_template = jnp.asarray(p.v_template)
+        shapedirs = jnp.asarray(p.shapedirs)
+        posedirs = jnp.asarray(p.posedirs)
+        J_reg = jnp.asarray(p.J_regressor)
+        W = jnp.asarray(p.lbs_weights)
+        parents = p.parents
+
+        v_shaped = v_template[None] + jnp.einsum("vcb,nb->nvc", shapedirs, betas)
+        joints = jnp.einsum("jv,nvc->njc", J_reg, v_shaped)          # (B, 24, 3)
+
+        R = pose_rotmats                                              # (B, 24, 3, 3)
+        pose_feat = (R[:, 1:] - jnp.eye(3)).reshape(B, 207)
+        v_posed = v_shaped + jnp.einsum("vcp,np->nvc", posedirs, pose_feat)
+
+        # kinematic chain → global transforms
+        def make_tf(Rm, t):
+            tf = jnp.zeros(Rm.shape[:-2] + (4, 4))
+            tf = tf.at[..., :3, :3].set(Rm)
+            tf = tf.at[..., :3, 3].set(t)
+            return tf.at[..., 3, 3].set(1.0)
+
+        transforms = [make_tf(R[:, 0], joints[:, 0])]
+        for j in range(1, 24):
+            local = make_tf(R[:, j], joints[:, j] - joints[:, parents[j]])
+            transforms.append(jnp.einsum("nij,njk->nik", transforms[parents[j]], local))
+        A = jnp.stack(transforms, axis=1)                             # (B, 24, 4, 4)
+        posed_joints = A[..., :3, 3]
+
+        # remove the rest-pose joint location from the skinning transform
+        rest = jnp.einsum("njik,njk->nji", A[..., :3, :3], joints)
+        A_skin = A.at[..., :3, 3].set(A[..., :3, 3] - rest)
+
+        T = jnp.einsum("vj,njik->nvik", W, A_skin)                    # (B, V, 4, 4)
+        verts = (jnp.einsum("nvik,nvk->nvi", T[..., :3, :3], v_posed)
+                 + T[..., :3, 3])
+        return verts + transl[:, None], posed_joints + transl[:, None]
+
+    def __call__(self, betas, pose, transl=None, pose_format: str = "aa"):
+        """betas (B, n) ; pose (B, 24, 3) axis-angle | (B, 24, 3, 3) | (B, 24, 6).
+
+        Returns (vertices (B, V, 3), joints (B, 24, 3)).
+        """
+        betas = jnp.asarray(betas, jnp.float32)
+        pose = jnp.asarray(pose, jnp.float32)
+        if pose_format == "aa":
+            R = rodrigues(pose)
+        elif pose_format == "rotmat":
+            R = pose
+        elif pose_format == "6d":
+            R = rotation_6d_to_matrix(pose)
+        else:
+            raise ValueError(pose_format)
+        if transl is None:
+            transl = jnp.zeros((betas.shape[0], 3), jnp.float32)
+        return self._forward(betas, R, jnp.asarray(transl, jnp.float32))
+
+
+def project_weak_perspective(points3d, cam):
+    """Weak-perspective projection: cam = (s, tx, ty) → normalized 2D
+    (the VIBE/SPIN camera convention, reference utils/bounding_box.py:56-98)."""
+    points3d = jnp.asarray(points3d, jnp.float32)
+    cam = jnp.asarray(cam, jnp.float32)
+    s = cam[..., 0:1, None]
+    t = cam[..., None, 1:3]
+    return s * points3d[..., :2] + t

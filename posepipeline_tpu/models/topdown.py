@@ -67,7 +67,8 @@ class TopDownModel:
         self.net = TopDownNet(cfg)
         if params is None:
             dummy = jnp.zeros((1, *cfg.input_hw, 3), jnp.float32)
-            params = self.net.init(jax.random.PRNGKey(seed), dummy)
+            from .init_util import init_on_cpu
+            params = init_on_cpu(self.net.init, jax.random.PRNGKey(seed), dummy)
         self.params = params
 
     def heatmaps(self, crops_normalized):

@@ -22,7 +22,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def halo_exchange(x_local, halo: int, axis_name: str):
@@ -78,7 +78,7 @@ def temporal_sharded_apply(net, mesh: Mesh, params, x, halo: int,
         mesh=mesh,
         in_specs=(P(), P(None, time_axis_name, None)),
         out_specs=P(None, time_axis_name, None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(params, x)
 

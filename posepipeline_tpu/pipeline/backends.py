@@ -1,0 +1,188 @@
+"""Model backends powering the pipeline tables' ``make()`` methods.
+
+The reference dispatches each Computed table to an external wrapped repo
+(pipeline.py:515-569 tracking, :169-243 bottom-up, :1019-1093 top-down,
+:1259-1416 lifting). Here every backend is a TPU-native path:
+
+- frames stream through fixed-shape device batches (media.frame_batches),
+- detection / embedding / 2D nets run as batched XLA programs,
+- association and table bookkeeping stay on the host.
+
+An additional ``Synthetic`` backend (color-segmentation detector + the
+GroundTruthKeypoints table) provides a checkpoint-free analytic path so the
+full DAG is testable with exact accuracy — the "fake backend" strategy
+SURVEY.md §4 prescribes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..media.video import frame_batches, video_info
+from ..models.detector import DetectorConfig, PersonDetector, ReIDModel
+from ..tracking.tracker import Tracker, TrackerConfig, TRACKER_METHOD_VARIANTS, make_tracker
+
+# Synthetic fixture palette (testing.py _PERSON_COLORS)
+_SYNTH_COLORS = np.array([(255, 40, 40), (40, 255, 40), (60, 60, 255), (255, 255, 40)], float)
+
+_detector_cache: Dict = {}
+
+
+def _get_detector(input_hw) -> PersonDetector:
+    key = ("det", input_hw)
+    if key not in _detector_cache:
+        _detector_cache[key] = PersonDetector(input_hw=input_hw)
+    return _detector_cache[key]
+
+
+def _get_reid() -> ReIDModel:
+    if "reid" not in _detector_cache:
+        _detector_cache["reid"] = ReIDModel()
+    return _detector_cache["reid"]
+
+
+def synthetic_detections(frames: np.ndarray):
+    """Analytic color-segmentation person detector for synthetic fixtures.
+
+    frames: (B, H, W, 3) uint8 → per-frame (boxes (N,4) TLHW, scores (N,)).
+    """
+    out = []
+    for frame in frames:
+        boxes, scores = [], []
+        f = frame.astype(float)
+        for c in _SYNTH_COLORS:
+            dist = np.abs(f - c).sum(axis=-1)
+            ys, xs = np.nonzero(dist < 150)
+            if ys.size > 50:
+                x0, x1 = xs.min(), xs.max()
+                y0, y1 = ys.min(), ys.max()
+                boxes.append([x0, y0, x1 - x0, y1 - y0])
+                scores.append(0.99)
+        out.append((np.array(boxes, float).reshape(-1, 4), np.array(scores, float)))
+    return out
+
+
+def _crop_for_reid(frames, boxes):
+    """(B, H, W, 3) + (B, K, 4) → (B, K, 128, 64, 3) crops for the encoder."""
+    import jax.numpy as jnp
+    from ..ops.warp import crop_resize_gather
+
+    fn = jax.vmap(lambda bx: crop_resize_gather(jnp.asarray(frames), bx, out_hw=(128, 64)),
+                  in_axes=1, out_axes=1)
+    return fn(jnp.asarray(boxes))
+
+
+def track_video(video_path: str, method_name: str, batch_size: int = 8,
+                tracker_cfg: Optional[TrackerConfig] = None) -> List[List[dict]]:
+    """Run detection + tracking over a whole video.
+
+    Returns the reference ``TrackingBbox.tracks`` format: per frame, a list of
+    dicts with ``track_id`` / ``tlbr`` / ``tlhw`` / ``confidence``
+    (pipeline.py:506-578).
+    """
+    use_embeddings = method_name in ("DeepSortYOLOv4", "MMTrack_deepsort", "FairMOT",
+                                     "TraDeS", "MMTrack_qdtrack")
+    if method_name == "Synthetic":
+        tracker = Tracker(tracker_cfg or TrackerConfig(variant="bytetrack", min_hits=1))
+    else:
+        tracker = make_tracker(method_name) if tracker_cfg is None else Tracker(tracker_cfg)
+
+    info = video_info(video_path)
+    tracks: List[List[dict]] = []
+    detector = None
+    reid = _get_reid() if use_embeddings else None
+
+    for frames, valid in frame_batches(video_path, batch_size):
+        if method_name == "Synthetic":
+            dets = synthetic_detections(frames)
+            embs_b = [None] * len(frames)
+        else:
+            if detector is None:
+                detector = _get_detector((frames.shape[1], frames.shape[2]))
+            boxes_b, scores_b = detector(frames)
+            boxes_b = np.asarray(boxes_b)
+            scores_b = np.asarray(scores_b)
+            dets = [(boxes_b[i], scores_b[i]) for i in range(len(frames))]
+            if use_embeddings:
+                embs = np.asarray(_crop_for_reid(frames, boxes_b))
+                embs_b = [np.asarray(_get_reid()(embs[i])) for i in range(len(frames))]
+            else:
+                embs_b = [None] * len(frames)
+
+        for i in range(len(frames)):
+            if not valid[i]:
+                break
+            boxes, scores = dets[i]
+            frame_tracks = tracker.step(boxes, scores, embs_b[i])
+            tracks.append([
+                dict(track_id=t["track_id"],
+                     tlbr=np.asarray(t["tlbr"], float),
+                     tlhw=np.asarray(t["tlhw"], float),
+                     confidence=float(t["confidence"]))
+                for t in frame_tracks])
+    assert len(tracks) <= info["num_frames"] + batch_size
+    return tracks
+
+
+def top_down_keypoints(video_path: str, bboxes: np.ndarray, present: np.ndarray,
+                       method_name: str, batch_size: int = 8) -> np.ndarray:
+    """Per-frame single-person 2D keypoints from crops (reference
+    wrappers/mmpose.py:26-81 contract: (T, J, 3), NaN where absent).
+
+    Runs the whole video through the top-down net in device batches.
+    """
+    from ..models.topdown import get_topdown_model
+
+    model = get_topdown_model(method_name)
+    T = len(bboxes)
+    out = np.full((T, model.cfg.num_joints, 3), np.nan, np.float32)
+    t = 0
+    for frames, valid in frame_batches(video_path, batch_size):
+        n = int(valid.sum())
+        idx = np.arange(t, min(t + n, T))
+        if idx.size == 0:
+            break
+        batch_boxes = np.zeros((batch_size, 4), np.float32)
+        batch_boxes[: idx.size] = np.nan_to_num(bboxes[idx])
+        kp = np.asarray(model(frames, batch_boxes))
+        for j, frame_idx in enumerate(idx):
+            if present[frame_idx]:
+                out[frame_idx] = kp[j]
+        t += n
+    return out
+
+
+def bottom_up_keypoints(video_path: str, method_name: str, num_joints: int = 25,
+                        batch_size: int = 8, max_people: int = 4) -> List[np.ndarray]:
+    """Multi-person 2D keypoints per frame (BottomUpPeople contract:
+    list over frames of (P, J, 3) arrays; reference pipeline.py:158-245).
+
+    TPU-native composite: batched detector proposals + top-down net per
+    proposal (the detector-conditioned formulation of bottom-up output).
+    """
+    from ..models.topdown import get_topdown_model
+
+    model = get_topdown_model("MMPose")  # COCO-17 backbone for all bottom-up slots
+    detector = None
+    results: List[np.ndarray] = []
+    for frames, valid in frame_batches(video_path, batch_size):
+        if detector is None:
+            detector = _get_detector((frames.shape[1], frames.shape[2]))
+        boxes_b, scores_b = detector(frames)
+        boxes_b = np.asarray(boxes_b)[:, :max_people]
+        scores_b = np.asarray(scores_b)[:, :max_people]
+        # run top-down on each proposal slot (B*P crops in one device batch)
+        B, P, _ = boxes_b.shape
+        kp = np.zeros((B, P, model.cfg.num_joints, 3), np.float32)
+        for p in range(P):
+            kp[:, p] = np.asarray(model(frames, boxes_b[:, p]))
+        for i in range(B):
+            if not valid[i]:
+                break
+            keep = scores_b[i] > 0.3
+            results.append(kp[i][keep])
+    return results

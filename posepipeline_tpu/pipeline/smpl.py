@@ -1,0 +1,391 @@
+"""SMPL mesh-recovery tables (top-down, bottom-up, and motion-prior paths).
+
+Reference tables: SMPLMethodLookup/Method/SMPLPerson(+Video)
+(pipeline.py:1514-1706), CenterHMR family (:1709-1874), HumorPerson(+Video)
+(:1877-1918). Definitions are attribute-compatible. The 8 wrapped CUDA repos
+collapse into the TPU mesh-recovery family (models/meshregressor.py); HuMoR's
+test-time motion-prior optimization is an optax program (models/motion_prior).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..core.engine import Computed, Lookup, Manual
+from ..models.smpl_body import SMPL_JOINT_NAMES
+from ._schema import schema
+from .bottomup import BlurredVideo
+from .person2d import OpenPosePerson
+from .tracking import PersonBbox
+from .video import Video, VideoInfo
+
+# SPIN's 49-joint convention (25 OpenPose + 24 extra), the reference's
+# SMPLPerson.joint_names (pipeline.py:1622-1654 via utils/smpl.py JOINT_NAMES_49)
+from ..utils.skeletons import BODY_25
+
+SPIN_49 = BODY_25 + [
+    "Right Ankle2", "Right Knee2", "Right Hip2", "Left Hip2", "Left Knee2",
+    "Left Ankle2", "Right Wrist2", "Right Elbow2", "Right Shoulder2",
+    "Left Shoulder2", "Left Elbow2", "Left Wrist2", "Neck2", "Head Top",
+    "Pelvis2", "Thorax", "Spine", "Jaw", "Head2", "Nose2", "Left Eye2",
+    "Right Eye2", "Left Ear2", "Right Ear2",
+]
+
+
+def _person_crops(key, crop_hw=(224, 224), batch_size: int = 8):
+    """Decode + crop + normalize the annotated person's track, batched on
+    device (replaces the torch DataLoader path, reference
+    utils/bounding_box.py:101-194)."""
+    from ..media.video import frame_batches
+    from ..ops.warp import crop_image_bbox, normalize_imagenet
+
+    bbox, present = (PersonBbox & key).fetch1("bbox", "present")
+    bbox = np.nan_to_num(np.asarray(bbox, np.float32))
+    video = Video.get_robust_reader(key, return_cap=False)
+    crops = []
+    t = 0
+    try:
+        for frames, valid in frame_batches(video, batch_size):
+            n = int(valid.sum())
+            batch_boxes = np.zeros((len(frames), 4), np.float32)
+            upto = min(t + n, len(bbox))
+            batch_boxes[: upto - t] = bbox[t:upto]
+            c, fixed = crop_image_bbox(frames, batch_boxes,
+                                       target_size=(crop_hw[1], crop_hw[0]), dilate=1.2)
+            c = np.asarray(normalize_imagenet(c))
+            crops.append(c[:n])
+            t += n
+    finally:
+        if os.path.exists(video):
+            os.remove(video)
+    crops = np.concatenate(crops)[: len(bbox)]
+    return crops, np.asarray(bbox), np.asarray(present, bool)
+
+
+@schema
+class SMPLMethodLookup(Lookup):
+    definition = """
+    smpl_method       : int
+    ---
+    smpl_method_name  : varchar(50)
+    """
+    contents = [
+        {"smpl_method": 0, "smpl_method_name": "VIBE"},
+        {"smpl_method": 1, "smpl_method_name": "MEVA"},
+        {"smpl_method": 2, "smpl_method_name": "ProHMR"},
+        {"smpl_method": 3, "smpl_method_name": "Expose"},
+        {"smpl_method": 4, "smpl_method_name": "PARE"},
+        {"smpl_method": 5, "smpl_method_name": "PIXIE"},
+        {"smpl_method": 6, "smpl_method_name": "ProHMR_MMPose"},
+        {"smpl_method": 7, "smpl_method_name": "HybrIK"},
+    ]
+
+
+@schema
+class SMPLMethod(Manual):
+    definition = """
+    -> PersonBbox
+    -> SMPLMethodLookup
+    """
+
+
+@schema
+class SMPLPerson(Computed):
+    definition = """
+    -> SMPLMethod
+    ---
+    model_type      : varchar(50)
+    cams            : longblob
+    poses           : longblob
+    betas           : longblob
+    joints3d        : longblob
+    joints2d        : longblob
+    """
+
+    def make(self, key):
+        """Mesh recovery over the annotated track (reference
+        pipeline.py:1556-1620; vertices dropped to save space like :1617-1618).
+
+        joints2d are converted from weak-perspective crop coords to image
+        pixels with the VIBE transforms (ops/boxes.py)."""
+        from ..models.meshregressor import MeshRecoveryModel
+        from ..ops.boxes import convert_crop_cam_to_orig_img, fix_aspect_ratio
+
+        key = dict(key)
+        method = (SMPLMethodLookup & key).fetch1("smpl_method_name")
+        model = MeshRecoveryModel(method)
+        crops, bbox, present = _person_crops(key)
+        out = model(crops)
+
+        width, height = (VideoInfo & key).fetch1("width", "height")
+        square = np.asarray(fix_aspect_ratio(bbox, dilate=1.2, ratio=1.0))
+        orig_cam = np.asarray(convert_crop_cam_to_orig_img(
+            np.asarray(out["cams"]), square, width, height))
+
+        # image-space 2D joints from weak-perspective params
+        j3 = np.asarray(out["joints3d"])
+        sx, sy, tx, ty = orig_cam.T
+        j2 = np.stack([
+            (j3[..., 0] + tx[:, None]) * sx[:, None] * (width / 2) + width / 2,
+            (j3[..., 1] + ty[:, None]) * sy[:, None] * (height / 2) + height / 2,
+        ], axis=-1)
+
+        key["model_type"] = "smpl"
+        key["cams"] = orig_cam
+        key["poses"] = np.asarray(out["poses"])
+        key["betas"] = np.asarray(out["betas"])
+        key["joints3d"] = j3
+        key["joints2d"] = j2
+        self.insert1(key)
+
+    @staticmethod
+    def joint_names(method="VIBE"):
+        return SPIN_49
+
+    @staticmethod
+    def smpl_joint_names():
+        return SMPL_JOINT_NAMES
+
+
+@schema
+class SMPLPersonVideo(Computed):
+    definition = """
+    -> SMPLPerson
+    -> BlurredVideo
+    ---
+    output_video      : attach@localattach    # managed video file
+    """
+
+    def make(self, key):
+        """Projected-joint overlay (the reference rasterizes the full mesh via
+        pyrender, pipeline.py:1657-1706; the TPU path rasterizes projected
+        joints/skeleton on device — mesh rasterization is host-optional)."""
+        from .person2d import _render_single_person
+
+        key = dict(key)
+        joints2d = np.asarray((SMPLPerson & key).fetch1("joints2d"))
+        conf = np.ones(joints2d.shape[:-1] + (1,), np.float32)
+        kp = np.concatenate([joints2d, conf], axis=-1)[:, :24]
+        video = (BlurredVideo & key).fetch1("output_video")
+        out = _render_single_person(video, kp, "coco_17")
+        key["output_video"] = out
+        self.insert1(key)
+        os.remove(video)
+        os.remove(out)
+
+
+@schema
+class CenterHMR(Computed):
+    definition = """
+    -> Video
+    ---
+    results           : longblob
+    """
+
+    def make(self, key):
+        """Bottom-up multi-person SMPL (the ROMP/CenterHMR slot,
+        reference pipeline.py:1709-1745): detector proposals + mesh regressor
+        per proposal, whole video batched."""
+        from . import backends
+        from ..media.video import frame_batches
+        from ..models.meshregressor import MeshRecoveryModel
+        from ..ops.warp import crop_image_bbox, normalize_imagenet
+
+        key = dict(key)
+        model = MeshRecoveryModel("ProHMR")  # single-frame head
+        video = Video.get_robust_reader(key, return_cap=False)
+        results = []
+        detector = None
+        try:
+            for frames, valid in frame_batches(video, 8):
+                if detector is None:
+                    detector = backends._get_detector((frames.shape[1], frames.shape[2]))
+                dboxes, dscores = detector(frames)
+                dboxes = np.asarray(dboxes)[:, :4]
+                dscores = np.asarray(dscores)[:, :4]
+                for i in range(len(frames)):
+                    if not valid[i]:
+                        break
+                    keep = dscores[i] > 0.3
+                    frame_res = []
+                    if keep.any():
+                        crops, _ = crop_image_bbox(
+                            np.repeat(frames[i][None], int(keep.sum()), 0),
+                            dboxes[i][keep], target_size=(224, 224), dilate=1.2)
+                        out = model(np.asarray(normalize_imagenet(crops)))
+                        W_, H_ = frames.shape[2], frames.shape[1]
+                        for p in range(int(keep.sum())):
+                            # pj2d normalized to (-0.5, 0.5) like the reference
+                            # consumer expects (pipeline.py:1757-1762)
+                            j2 = np.asarray(out["joints2d"])[p]
+                            frame_res.append(dict(
+                                pj2d=j2 / 2.0,
+                                cam=np.asarray(out["cams"])[p],
+                                poses=np.asarray(out["poses"])[p],
+                                betas=np.asarray(out["betas"])[p],
+                                j3d_smpl24=np.asarray(out["joints3d"])[p],
+                                bbox=dboxes[i][keep][p]))
+                    results.append(frame_res)
+        finally:
+            if os.path.exists(video):
+                os.remove(video)
+        key["results"] = results
+        self.insert1(key)
+
+
+@schema
+class CenterHMRPerson(Computed):
+    definition = """
+    -> PersonBbox
+    -> CenterHMR
+    -> VideoInfo
+    ---
+    keypoints        : longblob
+    poses            : longblob
+    betas            : longblob
+    cams             : longblob
+    global_orients   : longblob
+    centerhmr_ids    : longblob
+    """
+
+    def make(self, key):
+        """Match multi-person SMPL results to the annotated person per frame
+        (reference pipeline.py:1748-1830; pj2d (−0.5, 0.5) → image coords)."""
+        from ..tracking.tracker import iou_matrix_np
+        from ..ops.boxes import keypoints_to_bbox
+
+        key = dict(key)
+        results = (CenterHMR & key).fetch1("results")
+        bbox, present = (PersonBbox & key).fetch1("bbox", "present")
+        width, height = (VideoInfo & key).fetch1("width", "height")
+        T = len(results)
+        J = 24
+        kp = np.zeros((T, J, 2), np.float32)
+        poses = np.zeros((T, 24, 6), np.float32)
+        betas = np.zeros((T, 10), np.float32)
+        cams = np.zeros((T, 3), np.float32)
+        orients = np.zeros((T, 6), np.float32)
+        ids = np.full(T, -1, int)
+        target = np.nan_to_num(np.asarray(bbox, np.float32))
+        scale = max(width, height)
+        for t, frame in enumerate(results):
+            if not present[t] or not frame:
+                continue
+            cand = []
+            for r in frame:
+                p2 = r["pj2d"] * scale + np.array([width, height]) / 2
+                cand.append(np.concatenate([p2, np.ones((len(p2), 1))], -1))
+            boxes = np.stack([np.asarray(keypoints_to_bbox(c)) for c in cand])
+            ious = iou_matrix_np(target[t][None], boxes)[0]
+            best = int(np.argmax(ious))
+            if ious[best] > 0.1:
+                r = frame[best]
+                kp[t] = (r["pj2d"] * scale + np.array([width, height]) / 2)[:J]
+                poses[t] = r["poses"]
+                betas[t] = r["betas"]
+                cams[t] = r["cam"]
+                orients[t] = r["poses"][0]
+                ids[t] = best
+        key["keypoints"] = kp
+        key["poses"] = poses
+        key["betas"] = betas
+        key["cams"] = cams
+        key["global_orients"] = orients
+        key["centerhmr_ids"] = ids
+        self.insert1(key)
+
+    @staticmethod
+    def joint_names():
+        return SMPL_JOINT_NAMES
+
+
+@schema
+class CenterHMRPersonVideo(Computed):
+    definition = """
+    -> CenterHMRPerson
+    -> BlurredVideo
+    ---
+    output_video      : attach@localattach    # managed video file
+    """
+
+    def make(self, key):
+        from .person2d import _render_single_person
+
+        key = dict(key)
+        kp = np.asarray((CenterHMRPerson & key).fetch1("keypoints"))
+        conf = np.ones(kp.shape[:-1] + (1,), np.float32)
+        video = (BlurredVideo & key).fetch1("output_video")
+        out = _render_single_person(video, np.concatenate([kp, conf], -1), "coco_17")
+        key["output_video"] = out
+        self.insert1(key)
+        os.remove(video)
+        os.remove(out)
+
+
+@schema
+class HumorPerson(Computed):
+    definition = """
+    -> OpenPosePerson
+    ----
+    trans         : longblob
+    root_orient   : longblob
+    pose_body     : longblob
+    betas         : longblob
+    latent_pose   : longblob
+    latent_motion : longblob
+    floor_plane   : longblob
+    contacts      : longblob
+    vertices      : longblob
+    faces         : longblob
+    """
+
+    def make(self, key):
+        """Motion-prior test-time optimization (the HuMoR slot,
+        reference wrappers/humor.py:83-314): fit SMPL trajectories to 2D
+        keypoint evidence with temporal-smoothness and prior terms, optimized
+        with optax over sliding windows (models/motion_prior.py)."""
+        from ..models.motion_prior import fit_motion
+
+        key = dict(key)
+        keypoints = np.asarray((OpenPosePerson & key).fetch1("keypoints"), np.float32)
+        width, height = (VideoInfo & key).fetch1("width", "height")
+        result = fit_motion(keypoints, width, height)
+        key.update(result)
+        self.insert1(key)
+
+
+@schema
+class HumorPersonVideo(Computed):
+    definition = """
+    -> HumorPerson
+    ----
+    output_video      : attach@localattach    # managed video file
+    """
+
+    def make(self, key):
+        from .person2d import _render_single_person
+        from ..models.smpl_body import BodyModel
+        from ..models.smpl_body import project_weak_perspective
+
+        key = dict(key)
+        trans = np.asarray((HumorPerson & key).fetch1("trans"))
+        pose_body = np.asarray((HumorPerson & key).fetch1("pose_body"))
+        root = np.asarray((HumorPerson & key).fetch1("root_orient"))
+        betas = np.asarray((HumorPerson & key).fetch1("betas"))
+        body = BodyModel()
+        T = len(trans)
+        pose = np.concatenate([root[:, None], pose_body.reshape(T, 23, 3)], axis=1)
+        _, joints = body(np.tile(betas[None], (T, 1)), pose, trans)
+        width, height = (VideoInfo & key).fetch1("width", "height")
+        j = np.asarray(joints)
+        kp = np.stack([j[..., 0] * height / 2 + width / 2,
+                       -j[..., 1] * height / 2 + height * 0.9,
+                       np.ones_like(j[..., 0])], -1)
+        video = (BlurredVideo & key).fetch1("output_video")
+        out = _render_single_person(video, kp.astype(np.float32), "coco_17")
+        key["output_video"] = out
+        self.insert1(key)
+        os.remove(video)
+        os.remove(out)

@@ -1,0 +1,95 @@
+"""Standard-pipelines orchestration tests (reference-identical signatures)."""
+
+import numpy as np
+import pytest
+
+from posepipeline_tpu.testing import synthetic_video
+
+
+@pytest.fixture(scope="module")
+def env(pipeline_env):
+    from posepipeline_tpu.pipeline import insert_synthetic_clip
+
+    clip = synthetic_video(num_frames=16, num_people=1, seed=21)
+    key = insert_synthetic_clip(clip, video_project="api", filename="api_single.mp4")
+    return pipeline_env, clip, key
+
+
+def test_tracking_pipeline(env):
+    p, clip, key = env
+    from posepipeline_tpu.api import tracking_pipeline
+
+    keys = tracking_pipeline(dict(key), tracking_method_name="Synthetic")
+    assert len(keys) == 1
+    assert len(p.PersonBbox & keys[0]) == 1
+    assert len(p.DetectedFrames & keys[0]) == 1
+
+
+def test_top_down_and_lifting_pipeline(env):
+    p, clip, key = env
+    from posepipeline_tpu.api import lifting_pipeline, top_down_pipeline
+
+    td_keys = top_down_pipeline(dict(key), tracking_method_name="Synthetic",
+                                top_down_method_name="Synthetic")
+    assert td_keys and len(p.TopDownPerson & td_keys[0]) == 1
+
+    ok = lifting_pipeline(dict(key), tracking_method_name="Synthetic",
+                          top_down_method_name="Synthetic",
+                          lifting_method_name="GastNet")
+    assert ok
+    assert len(p.LiftingPerson & key) == 1
+
+
+def test_smpl_pipeline(env):
+    p, clip, key = env
+    from posepipeline_tpu.api import smpl_pipeline
+
+    keys = smpl_pipeline(dict(key), tracking_method_name="Synthetic",
+                         smpl_method_name="HybrIK")
+    assert keys and len(p.SMPLPerson & keys[0]) == 1
+    row = (p.SMPLPerson & keys[0]).fetch1()
+    assert row["model_type"] == "smpl"
+    assert np.asarray(row["poses"]).shape == (16, 24, 6)
+    assert np.asarray(row["joints2d"]).shape == (16, 24, 2)
+
+
+def test_action_and_hands_tables(env):
+    p, clip, key = env
+    # skeleton action over the synthetic top-down keypoints
+    akey = dict(key, tracking_method=100, video_subject_id=0, top_down_method=100)
+    p.SkeletonAction.populate(akey)
+    row = (p.SkeletonAction & akey).fetch1()
+    assert len(row["top5"]) == 5 and row["action_window_len"] > 0
+
+    # hand boxes from COCO wrists (RTMDet slot) + hand pose
+    hkey = dict(key, detection_method=0)
+    p.HandBboxMethod.insert1({**{k: key[k] for k in ("video_project", "filename")},
+                              "detection_method": 0}, skip_duplicates=True)
+    p.HandBbox.populate(hkey)
+    bboxes = (p.HandBbox & hkey).fetch1("bboxes")
+    assert np.asarray(bboxes).shape[1] == 2
+
+    hpkey = dict(hkey, estimation_method=2)  # freihand slot
+    p.HandPoseEstimationMethod.insert1(
+        {**{k: key[k] for k in ("video_project", "filename")},
+         "detection_method": 0, "estimation_method": 2}, skip_duplicates=True)
+    p.HandPoseEstimation.populate(hpkey)
+    kp = np.asarray((p.HandPoseEstimation & hpkey).fetch1("keypoints_2d"))
+    assert kp.shape == (16, 2, 21, 3)
+    assert np.isfinite(kp).all()
+
+
+def test_blur_videos_api(env):
+    p, clip, key = env
+    import os
+
+    from posepipeline_tpu.api import blur_videos
+
+    # BlurredVideo already depends on BottomUpPeople; use Synthetic bottom-up
+    p.BottomUpMethod.insert1(dict({k: key[k] for k in ("video_project", "filename")},
+                                  bottom_up_method_name="Synthetic"), skip_duplicates=True)
+    p.BottomUpPeople.populate(key)
+    p.BlurredVideo.populate(key)
+    out = (p.BlurredVideo & key).fetch1("output_video")
+    assert os.path.isfile(out)
+    os.remove(out)

@@ -1,0 +1,182 @@
+"""End-to-end pipeline DAG tests on synthetic clips.
+
+Exercises the full stage graph — ingest → info → tracking → annotation gate →
+person bbox → bottom-up → blur → top-down → lifting → overlay videos — with
+the analytic Synthetic backends (exact accuracy, no checkpoints) and the
+neural backends (plumbing with random weights).
+"""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from posepipeline_tpu.testing import synthetic_video
+
+
+@pytest.fixture(scope="module")
+def env(pipeline_env):
+    """Ingest one single-person and one two-person synthetic clip."""
+    from posepipeline_tpu.pipeline import insert_synthetic_clip
+
+    clip1 = synthetic_video(num_frames=24, num_people=1, seed=11)
+    clip2 = synthetic_video(num_frames=24, num_people=2, seed=12)
+    key1 = insert_synthetic_clip(clip1, filename="single.mp4")
+    key2 = insert_synthetic_clip(clip2, filename="double.mp4")
+    return pipeline_env, clip1, key1, clip2, key2
+
+
+def test_video_info(env):
+    p, clip1, key1, *_ = env
+    p.VideoInfo.populate(key1)
+    info = (p.VideoInfo & key1).fetch1()
+    assert info["num_frames"] == 24
+    assert info["width"] == clip1.width and info["height"] == clip1.height
+    assert info["fps"] == pytest.approx(30.0)
+    assert len(info["timestamps"]) == 24
+
+
+def test_tracking_synthetic_single(env):
+    p, clip1, key1, *_ = env
+    from posepipeline_tpu.utils.tracking import annotate_single_person
+
+    p.VideoInfo.populate(key1)
+    tkey = dict(key1, tracking_method=100)
+    p.TrackingBboxMethod.insert1(tkey, skip_duplicates=True)
+    p.TrackingBbox.populate(tkey)
+    tracks, num_tracks = (p.TrackingBbox & tkey).fetch1("tracks", "num_tracks")
+    assert num_tracks == 1
+    assert len(tracks) == 24
+
+    # auto-annotation gate
+    annotate_single_person(key1)
+    assert len(p.PersonBboxValid & tkey) == 1
+    p.PersonBbox.populate(tkey)
+    bbox, present = (p.PersonBbox & tkey).fetch1("bbox", "present")
+    assert present.sum() >= 20
+    # tracked boxes overlap ground truth
+    from posepipeline_tpu.tracking.tracker import iou_matrix_np
+    ious = [iou_matrix_np(bbox[t][None], clip1.bboxes[t])[0, 0]
+            for t in range(24) if present[t]]
+    assert np.median(ious) > 0.6, f"median IoU {np.median(ious)}"
+
+
+def test_detected_frames_qa(env):
+    p, clip1, key1, *_ = env
+    tkey = dict(key1, tracking_method=100)
+    p.DetectedFrames.populate(tkey)
+    df = (p.DetectedFrames & tkey).fetch1()
+    assert df["fraction_found"] > 0.8
+    assert df["frames_detected"] + df["frames_missed"] == 24
+    p.BestDetectedFrames.populate(key1)
+    assert len(p.BestDetectedFrames & key1) == 1
+
+
+def test_bottomup_and_blur(env):
+    p, clip1, key1, *_ = env
+    bkey = dict(key1, bottom_up_method_name="Synthetic")
+    p.BottomUpMethod.insert1(bkey, skip_duplicates=True)
+    p.BottomUpPeople.populate(bkey)
+    kps = (p.BottomUpPeople & bkey).fetch1("keypoints")
+    assert len(kps) == 24 and np.asarray(kps[0]).shape == (1, 25, 3)
+
+    p.BlurredVideo.populate(key1)
+    out = (p.BlurredVideo & key1).fetch1("output_video")
+    assert os.path.isfile(out)
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 24
+    # face region should be blanked white at the nose of frame 0
+    ret, frame = cap.read()
+    cap.release()
+    nose = clip1.keypoints[0, 0, 0]
+    px = frame[int(nose[1]), int(nose[0])]
+    assert (px > 200).all(), f"face not masked: {px}"
+    os.remove(out)
+
+
+def test_topdown_synthetic_exact(env):
+    p, clip1, key1, *_ = env
+    tdkey = dict(key1, tracking_method=100, video_subject_id=0, top_down_method=100)
+    p.TopDownMethod.insert1(tdkey, skip_duplicates=True)
+    p.TopDownPerson.populate(tdkey)
+    kp = np.asarray((p.TopDownPerson & tdkey).fetch1("keypoints"))
+    assert kp.shape == (24, 17, 3)
+    present = np.asarray((p.PersonBbox & tdkey).fetch1("present"))
+    err = np.abs(kp[present, :, :2] - clip1.keypoints[present, 0])
+    assert err.max() < 1e-3, "Synthetic top-down must reproduce GT exactly"
+
+
+def test_lifting_runs(env):
+    p, clip1, key1, *_ = env
+    lkey = dict(key1, tracking_method=100, video_subject_id=0,
+                top_down_method=100, lifting_method=0)
+    p.LiftingMethod.insert1(lkey, skip_duplicates=True)
+    p.LiftingPerson.populate(lkey)
+    kp3d, valid = (p.LiftingPerson & lkey).fetch1("keypoints_3d", "keypoints_valid")
+    assert np.asarray(kp3d).shape == (24, 17, 3)
+    assert np.asarray(valid).shape == (24,)
+    assert np.isfinite(np.asarray(kp3d)).all()
+
+
+def test_overlay_videos(env):
+    p, clip1, key1, *_ = env
+    p.TrackingBboxVideo.populate(key1)
+    out = (p.TrackingBboxVideo & key1).fetch1("output_video")
+    assert os.path.isfile(out) and os.path.getsize(out) > 1000
+    os.remove(out)
+
+    p.TopDownPersonVideo.populate(key1)
+    out = (p.TopDownPersonVideo & key1).fetch1("output_video")
+    assert os.path.isfile(out)
+    os.remove(out)
+
+    p.LiftingPersonVideo.populate(key1)
+    out = (p.LiftingPersonVideo & key1).fetch1("output_video")
+    cap = cv2.VideoCapture(out)
+    ret, frame = cap.read()
+    cap.release()
+    # side-by-side: wider than source
+    assert frame.shape[1] > clip1.width
+    os.remove(out)
+
+
+def test_multi_person_annotation_gate(env):
+    p, _, _, clip2, key2 = env
+    from posepipeline_tpu.utils.tracking import annotate_single_person, assign_video
+
+    p.VideoInfo.populate(key2)
+    tkey = dict(key2, tracking_method=100)
+    p.TrackingBboxMethod.insert1(tkey, skip_duplicates=True)
+    p.TrackingBbox.populate(tkey)
+    num_tracks = (p.TrackingBbox & tkey).fetch1("num_tracks")
+    assert num_tracks == 2
+
+    # gate: auto-annotation must NOT fire for multi-track videos
+    annotate_single_person(key2)
+    assert len(p.PersonBboxValid & tkey) == 0
+
+    # human picks track 0
+    assign_video(tkey, video_subject_id=0, keep_tracks=[0])
+    p.PersonBbox.populate(tkey)
+    present = (p.PersonBbox & tkey).fetch1("present")
+    assert present.sum() > 15
+
+
+def test_neural_topdown_plumbing(env):
+    """MMPose slot with random weights: full plumbing, finite outputs."""
+    p, clip1, key1, *_ = env
+    tdkey = dict(key1, tracking_method=100, video_subject_id=0, top_down_method=0)
+    p.TopDownMethod.insert1(tdkey, skip_duplicates=True)
+    p.TopDownPerson.populate(tdkey)
+    kp = np.asarray((p.TopDownPerson & tdkey).fetch1("keypoints"))
+    assert kp.shape == (24, 17, 3)
+    present = np.asarray((p.PersonBbox & dict(tdkey, top_down_method=100)).fetch1("present"))
+    assert np.isfinite(kp[present]).all()
+    # keypoints land inside (dilated) person crops
+    bbox = np.asarray((p.PersonBbox & dict(key1, tracking_method=100,
+                                           video_subject_id=0)).fetch1("bbox"))
+    t = int(np.flatnonzero(present)[0])
+    x0, y0, w, h = bbox[t]
+    inside = ((kp[t, :, 0] > x0 - w) & (kp[t, :, 0] < x0 + 2 * w)).mean()
+    assert inside > 0.9

