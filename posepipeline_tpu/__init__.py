@@ -16,3 +16,36 @@ table layer, mirroring the reference's ``import pose_pipeline``.
 from .version import __version__
 
 __all__ = ["__version__"]
+
+_PIPELINE_EXPORTS = {
+    # reference pose_pipeline/__init__.py:3-16 export surface
+    "Video", "VideoInfo", "TrackingBboxMethodLookup", "TrackingBboxMethod",
+    "TrackingBbox", "TrackingBboxVideo", "PersonBboxValid", "PersonBbox",
+    "BlurredVideo", "DetectedFrames", "BestDetectedFrames", "OpenPose",
+    "OpenPosePerson", "OpenPosePersonVideo", "CenterHMR", "CenterHMRPerson",
+    "CenterHMRPersonVideo", "BottomUpMethodLookup", "BottomUpMethod",
+    "BottomUpPeople", "BottomUpPerson", "BottomUpVideo", "BottomUpBridging",
+    "BottomUpBridgingPerson", "BottomUpBridgingVideo", "TopDownMethodLookup",
+    "TopDownMethod", "TopDownPerson", "TopDownPersonVideo",
+    "HandBboxMethodLookup", "HandBboxMethod", "HandBbox", "HandPoseEstimation",
+    "HandPoseEstimationMethod", "HandPoseEstimationMethodLookup",
+    "LiftingMethodLookup", "LiftingMethod", "LiftingPerson",
+    "LiftingPersonVideo", "SMPLMethodLookup", "SMPLMethod", "SMPLPerson",
+    "SMPLPersonVideo", "SkeletonAction", "SkeletonActionVideo", "HumorPerson",
+    "HumorPersonVideo", "GroundTruthKeypoints",
+}
+
+
+def __getattr__(name):
+    """Lazy re-export of table classes (``from posepipeline_tpu import Video``)
+    without forcing schema declaration at package import time."""
+    if name in _PIPELINE_EXPORTS:
+        from . import pipeline
+
+        return getattr(pipeline, name)
+    if name in ("add_path", "set_environmental_variables", "pytorch_memory_limit",
+                "tensorflow_memory_limit"):
+        from . import env
+
+        return getattr(env, name)
+    raise AttributeError(f"module 'posepipeline_tpu' has no attribute {name!r}")

@@ -25,6 +25,21 @@ from typing import Iterator, Optional, Tuple
 import cv2
 import numpy as np
 
+from ..hostmem import configure_allocator
+
+# Recycle page-faulted heap pages for frame buffers (see hostmem.py; decoded
+# 1080p batches otherwise pay seconds of first-touch faults per batch on
+# virtualized hosts).
+configure_allocator()
+
+# Match OpenCV's thread pool to the actual core count (override via
+# PPT_CV2_THREADS). Oversubscribing is actively harmful: on a 1-core host,
+# multi-threaded FFmpeg decode loses 4x to context-switch churn against the
+# JAX runtime threads (measured 54 fps @ 8 threads vs 216 fps @ 1 thread).
+_cv2_threads = int(os.environ.get("PPT_CV2_THREADS", max(os.cpu_count() or 1, 1)))
+if cv2.getNumThreads() != _cv2_threads:
+    cv2.setNumThreads(_cv2_threads)
+
 _FOURCC_CANDIDATES = ("mp4v", "avc1", "MJPG")
 
 

@@ -18,7 +18,14 @@ def init_on_cpu(init_fn, *args, **kwargs):
     except RuntimeError:
         return init_fn(*args, **kwargs)
     with jax.default_device(cpu):
-        return init_fn(*args, **kwargs)
+        params = init_fn(*args, **kwargs)
+    # Move to the default accelerator ONCE. Leaving params CPU-resident makes
+    # every jitted apply re-transfer the full parameter set (observed: seconds
+    # per call through the remote-device link).
+    default = jax.devices()[0]
+    if default.platform != "cpu":
+        params = jax.device_put(params, default)
+    return params
 
 
 def enable_compilation_cache(path: str = "/tmp/jax_compilation_cache") -> None:

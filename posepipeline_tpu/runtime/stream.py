@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import metrics
 from ..media.video import frame_batches, video_info
 from ..models.detector import PersonDetector
 from ..models.lifting import LiftingModel
@@ -124,19 +125,41 @@ class BandwidthOptimizedPoseEstimator:
         return decode_heatmaps(hm, fixed_boxes)
 
     def _host_crop(self, frames, boxes):
-        """Full-res host crops with the reference affine semantics.
+        """Full-res host crops: integer-box slice + resize.
 
-        Crops stay uint8: the device normalizes, and keeping them 1 byte/px
-        quarters the host→device traffic.
+        A full-frame warpAffine costs ~50 ms at 1080p; slicing the box region
+        and resizing it costs <1 ms and is the same bilinear sampling. The
+        box is rounded to integer pixels and that *exact* box is returned, so
+        the heatmap→image decode transform stays self-consistent. Crops stay
+        uint8 (device normalizes; 1 byte/px host→device traffic).
         """
         th, tw = self.topdown.cfg.input_hw
-        fixed = np.asarray(fix_aspect_ratio(boxes, dilate=1.2, ratio=tw / th))
-        crops = np.empty((len(frames), th, tw, 3), np.uint8)
+        # numpy aspect-fix: the jnp version would be a device round trip
+        # inside this host loop
+        fixed = np.round(_fix_aspect_np(boxes, dilate=1.2, ratio=tw / th))
+        H, W = frames.shape[1:3]
+        crops = np.zeros((len(frames), th, tw, 3), np.uint8)
         for i, (frame, b) in enumerate(zip(frames, fixed)):
-            src = np.float32([[b[0], b[1]], [b[0] + b[2], b[1] + b[3]], [b[0], b[1] + b[3]]])
-            dst = np.float32([[0, 0], [tw, th], [0, th]])
-            m = self.cv2.getAffineTransform(src, dst)
-            crops[i] = self.cv2.warpAffine(frame, m, (tw, th), flags=self.cv2.INTER_LINEAR)
+            x0, y0, w, h = int(b[0]), int(b[1]), int(b[2]), int(b[3])
+            if w <= 0 or h <= 0:
+                continue
+            # image intersection; out-of-image area stays zero (cv2
+            # constant-border semantics). The intersection resizes straight
+            # into its sub-rectangle of the (th, tw) output — no source-sized
+            # canvas allocation (degenerate detector boxes can be huge).
+            xi0, yi0 = max(x0, 0), max(y0, 0)
+            xi1, yi1 = min(x0 + w, W), min(y0 + h, H)
+            if xi1 <= xi0 or yi1 <= yi0:
+                continue
+            ox0 = int(round((xi0 - x0) / w * tw))
+            ox1 = int(round((xi1 - x0) / w * tw))
+            oy0 = int(round((yi0 - y0) / h * th))
+            oy1 = int(round((yi1 - y0) / h * th))
+            if ox1 <= ox0 or oy1 <= oy0:
+                continue
+            crops[i, oy0:oy1, ox0:ox1] = self.cv2.resize(
+                frame[yi0:yi1, xi0:xi1], (ox1 - ox0, oy1 - oy0),
+                interpolation=self.cv2.INTER_LINEAR)
         return crops, fixed
 
     def submit(self, frames: np.ndarray):
@@ -144,9 +167,11 @@ class BandwidthOptimizedPoseEstimator:
         batch's (boxes, scores, keypoints) or None (pipeline warm-up)."""
         s = self.det_stride
         keyframes = frames[:: self.det_interval]
-        small = np.ascontiguousarray(
-            keyframes[:, : self.det_hw[0] * s: s, : self.det_hw[1] * s: s])
-        fut = self._detect(self.detector.params, jnp.asarray(small))
+        with metrics.StageTimer("submit.downsample", frames=len(keyframes)):
+            small = np.ascontiguousarray(
+                keyframes[:, : self.det_hw[0] * s: s, : self.det_hw[1] * s: s])
+        with metrics.StageTimer("submit.detect_dispatch", frames=len(keyframes)):
+            fut = self._detect(self.detector.params, jnp.asarray(small))
         prev = self._pending
         self._pending = (frames, fut)
         if prev is None:
@@ -160,20 +185,70 @@ class BandwidthOptimizedPoseEstimator:
         prev, self._pending = self._pending, None
         return self._finish(prev)
 
+    def process_chunk(self, frame_batches_list):
+        """Process many batches with two fetch barriers total.
+
+        Through a remote-device link every result fetch costs a fixed wait
+        that monopolizes the (single) host core; per-batch fetches serialize
+        the pipeline. This path dispatches detection for ALL batches, fetches
+        all boxes once, dispatches ALL pose programs, fetches all keypoints
+        once — amortizing the wait over the chunk.
+
+        frame_batches_list: list of (B, H, W, 3) uint8 arrays (equal shapes).
+        Returns a list of (boxes, scores, keypoints) per batch.
+        """
+        s = self.det_stride
+        det_futs = []
+        for frames in frame_batches_list:
+            keyframes = frames[:: self.det_interval]
+            small = np.ascontiguousarray(
+                keyframes[:, : self.det_hw[0] * s: s, : self.det_hw[1] * s: s])
+            det_futs.append(self._detect(self.detector.params, jnp.asarray(small)))
+        scale = np.array([self.scale_x, self.scale_y, self.scale_x, self.scale_y])
+        with metrics.StageTimer("chunk.fetch_boxes", frames=sum(len(f) for f in frame_batches_list)):
+            det_np = [(np.asarray(b) * scale, np.asarray(sc)) for b, sc in det_futs]
+        pose_futs, metas = [], []
+        for frames, (kf_boxes, kf_scores) in zip(frame_batches_list, det_np):
+            idx = np.minimum(np.arange(len(frames)) // self.det_interval, len(kf_boxes) - 1)
+            boxes, scores = kf_boxes[idx], kf_scores[idx]
+            with metrics.StageTimer("chunk.host_crop", frames=len(frames)):
+                crops, fixed = self._host_crop(frames, boxes)
+            pose_futs.append(self._pose(self.topdown.params, jnp.asarray(crops),
+                                        jnp.asarray(fixed)))
+            metas.append((boxes, scores))
+        with metrics.StageTimer("chunk.fetch_kp", frames=sum(len(f) for f in frame_batches_list)):
+            kps = [np.asarray(p) for p in pose_futs]
+        return [(b, sc, kp) for (b, sc), kp in zip(metas, kps)]
+
     def _finish(self, entry):
         frames, (boxes_f, scores_f) = entry
-        kf_boxes = np.asarray(boxes_f) * np.array([self.scale_x, self.scale_y,
-                                                   self.scale_x, self.scale_y])
-        kf_scores = np.asarray(scores_f)
+        with metrics.StageTimer("finish.fetch_boxes", frames=len(frames)):
+            kf_boxes = np.asarray(boxes_f) * np.array([self.scale_x, self.scale_y,
+                                                       self.scale_x, self.scale_y])
+            kf_scores = np.asarray(scores_f)
         # propagate keyframe detections to intermediate frames
         idx = np.arange(len(frames)) // self.det_interval
         idx = np.minimum(idx, len(kf_boxes) - 1)
         boxes = kf_boxes[idx]
         scores = kf_scores[idx]
-        crops, fixed = self._host_crop(frames, boxes)
-        kp = np.asarray(self._pose(self.topdown.params, jnp.asarray(crops),
-                                   jnp.asarray(fixed)))
+        with metrics.StageTimer("finish.host_crop", frames=len(frames)):
+            crops, fixed = self._host_crop(frames, boxes)
+        with metrics.StageTimer("finish.pose", frames=len(frames)):
+            kp = np.asarray(self._pose(self.topdown.params, jnp.asarray(crops),
+                                       jnp.asarray(fixed)))
         return boxes, scores, kp
+
+
+def _fix_aspect_np(bbox, dilate: float = 1.2, ratio: float = 1.0):
+    """Host-side twin of ops.boxes.fix_aspect_ratio (same math, numpy)."""
+    bbox = np.asarray(bbox, np.float64)
+    center = bbox[..., :2] + bbox[..., 2:] / 2.0
+    w, h = bbox[..., 2], bbox[..., 3]
+    too_narrow = (w / np.maximum(h, 1e-9)) < ratio
+    new_w = np.where(too_narrow, h * ratio, w)
+    new_h = np.where(too_narrow, h, w / ratio)
+    hw = np.stack([new_w, new_h], axis=-1) * dilate
+    return np.concatenate([center - hw / 2.0, hw], axis=-1)
 
 
 class _DecodeWorker(threading.Thread):
@@ -188,9 +263,15 @@ class _DecodeWorker(threading.Thread):
         self.vid = video_id
 
     def run(self):
+        import time
+
         try:
+            t0 = time.perf_counter()
+            n = 0
             for frames, valid in frame_batches(self.path, self.batch):
+                n += int(valid.sum())
                 self.q.put((self.vid, frames, valid))
+            metrics.record("decode", n, time.perf_counter() - t0)
         finally:
             self.q.put((self.vid, None, None))  # end-of-stream marker
 
@@ -206,12 +287,13 @@ class StreamingRunner:
     def __init__(self, estimator: Optional[FusedPoseEstimator] = None,
                  lifter: Optional[LiftingModel] = None,
                  batch_size: int = 8, prefetch: int = 16,
-                 decode_threads: int = 8):
+                 decode_threads: int = 8, chunk_batches: int = 8):
         self.estimator = estimator
         self.lifter = lifter
         self.batch_size = batch_size
         self.prefetch = prefetch
         self.decode_threads = decode_threads
+        self.chunk_batches = chunk_batches
 
     def run(self, video_paths: List[str], lift: bool = True) -> List[Dict]:
         if self.estimator is None:
@@ -219,15 +301,18 @@ class StreamingRunner:
             self.estimator = FusedPoseEstimator(input_hw=(info["height"], info["width"]))
         if lift and self.lifter is None:
             self.lifter = LiftingModel("GastNet")
+        import os as _os
+
+        if self.decode_threads == 0 or (_os.cpu_count() or 1) == 1:
+            # single-core host (or explicit request): decode inline — worker
+            # threads only add GIL/arena churn when there is no parallelism
+            return self._run_inline(video_paths, lift)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         results = [dict(boxes=[], scores=[], keypoints=[]) for _ in video_paths]
         active = 0
         next_video = 0
-        pipelined = hasattr(self.estimator, "submit")
-        from collections import deque
-
-        inflight: deque = deque()  # (video_id, n_valid) for pipelined mode
+        pipelined = hasattr(self.estimator, "process_chunk")
 
         def start_next():
             nonlocal next_video, active
@@ -245,6 +330,17 @@ class StreamingRunner:
         for _ in range(min(self.decode_threads, len(video_paths))):
             start_next()
 
+        chunk: list = []  # [(vid, n, frames)]
+
+        def flush_chunk():
+            if not chunk:
+                return
+            with metrics.StageTimer("detect_2d", frames=sum(c[1] for c in chunk)):
+                results_chunk = self.estimator.process_chunk([c[2] for c in chunk])
+            for (cvid, cn, _), res in zip(chunk, results_chunk):
+                store(cvid, cn, *res)
+            chunk.clear()
+
         while active > 0:
             vid, frames, valid = q.get()
             if frames is None:
@@ -253,20 +349,59 @@ class StreamingRunner:
                 continue
             n = int(valid.sum())
             if pipelined:
-                res = self.estimator.submit(frames)
-                inflight.append((vid, n))
-                if res is not None:
-                    pvid, pn = inflight.popleft()
-                    store(pvid, pn, *res)
+                chunk.append((vid, n, frames))
+                if len(chunk) >= self.chunk_batches:
+                    flush_chunk()
             else:
-                boxes, scores, kp = self.estimator(frames)
+                with metrics.StageTimer("detect_2d", frames=n):
+                    boxes, scores, kp = self.estimator(frames)
                 store(vid, n, boxes, scores, kp)
         if pipelined:
-            res = self.estimator.flush()
-            if res is not None:
-                pvid, pn = inflight.popleft()
-                store(pvid, pn, *res)
+            flush_chunk()
 
+        return self._collect(video_paths, results, lift)
+
+    def _run_inline(self, video_paths: List[str], lift: bool) -> List[Dict]:
+        """Threadless path: decode → chunked device processing, sequential."""
+        results = [dict(boxes=[], scores=[], keypoints=[]) for _ in video_paths]
+        chunked = hasattr(self.estimator, "process_chunk")
+        chunk: list = []
+
+        def flush():
+            if not chunk:
+                return
+            with metrics.StageTimer("detect_2d", frames=sum(c[1] for c in chunk)):
+                res = self.estimator.process_chunk([c[2] for c in chunk])
+            for (cvid, cn, _), r in zip(chunk, res):
+                results[cvid]["boxes"].append(np.asarray(r[0])[:cn])
+                results[cvid]["scores"].append(np.asarray(r[1])[:cn])
+                results[cvid]["keypoints"].append(np.asarray(r[2])[:cn])
+            chunk.clear()
+
+        for vid, path in enumerate(video_paths):
+            import time as _time
+
+            t0 = _time.perf_counter()
+            n_dec = 0
+            for frames, valid in frame_batches(path, self.batch_size):
+                n = int(valid.sum())
+                n_dec += n
+                metrics.record("decode", n, _time.perf_counter() - t0)
+                if chunked:
+                    chunk.append((vid, n, frames))
+                    if len(chunk) >= self.chunk_batches:
+                        flush()
+                else:
+                    with metrics.StageTimer("detect_2d", frames=n):
+                        b, s, kp = self.estimator(frames)
+                    results[vid]["boxes"].append(np.asarray(b)[:n])
+                    results[vid]["scores"].append(np.asarray(s)[:n])
+                    results[vid]["keypoints"].append(np.asarray(kp)[:n])
+                t0 = _time.perf_counter()
+        flush()
+        return self._collect(video_paths, results, lift)
+
+    def _collect(self, video_paths, results, lift):
         out = []
         for vid, r in enumerate(results):
             kp = np.concatenate(r["keypoints"]) if r["keypoints"] else np.zeros((0, 17, 3))
@@ -278,8 +413,10 @@ class StreamingRunner:
             )
             if lift and len(kp):
                 info = video_info(video_paths[vid])
-                kp3d, valid3 = self.lifter(kp, info["width"], info["height"])
-                item["keypoints3d"] = np.asarray(kp3d)
+                with metrics.StageTimer("lift_3d", frames=len(kp)):
+                    kp3d, valid3 = self.lifter(kp, info["width"], info["height"])
+                    kp3d = np.asarray(kp3d)
+                item["keypoints3d"] = kp3d
                 item["keypoints_valid"] = np.asarray(valid3)
             out.append(item)
         return out
