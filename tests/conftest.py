@@ -20,6 +20,29 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
+# Bind the pipeline schema to a per-session scratch dir at conftest import —
+# BEFORE pytest collects test modules. Any collection-time import of
+# posepipeline_tpu.pipeline then declares against this path instead of
+# leaking a default-path database into the repo cwd (stale rows from leaked
+# databases caused order-dependent e2e failures).
+import shutil as _shutil
+import tempfile as _tempfile
+
+_ARTIFACTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          ".test_artifacts")
+os.makedirs(_ARTIFACTS, exist_ok=True)
+_SESSION_DIR = _tempfile.mkdtemp(dir=_ARTIFACTS)
+
+from posepipeline_tpu.core.config import config as _cfg
+
+_cfg["database.path"] = os.path.join(_SESSION_DIR, "pipeline.db")
+_cfg["stores"] = {"localattach": {"protocol": "file",
+                                  "location": os.path.join(_SESSION_DIR, "store")}}
+
+
+def pytest_sessionfinish(session, exitstatus):
+    _shutil.rmtree(_SESSION_DIR, ignore_errors=True)
+
 
 @pytest.fixture()
 def schema(tmp_path):
@@ -34,17 +57,8 @@ def schema(tmp_path):
 
 
 @pytest.fixture(scope="session")
-def pipeline_env(tmp_path_factory):
-    """Session-scoped pipeline schema bound to a temp DB + store.
-
-    Must be requested *before* importing ``posepipeline_tpu.pipeline`` anywhere,
-    since table declaration binds to the active config.
-    """
-    root = tmp_path_factory.mktemp("pipeline_db")
-    from posepipeline_tpu.core.config import config as cfg
-
-    cfg["database.path"] = str(root / "pipeline.db")
-    cfg["stores"] = {"localattach": {"protocol": "file", "location": str(root / "store")}}
+def pipeline_env():
+    """Session-scoped pipeline schema (config bound at conftest import)."""
     import posepipeline_tpu.pipeline as pipeline
 
     return pipeline
