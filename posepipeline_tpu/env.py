@@ -43,7 +43,9 @@ def set_environmental_variables():
     from .models.init_util import enable_compilation_cache
 
     enable_compilation_cache()
-    os.environ.setdefault("PPT_CV2_THREADS", str(max(os.cpu_count() or 8, 8)))
+    # actual core count, no floor: oversubscribing cv2 decode threads on
+    # small hosts regresses decode ~4x (media/video.py measurement)
+    os.environ.setdefault("PPT_CV2_THREADS", str(os.cpu_count() or 1))
 
 
 def pytorch_memory_limit(frac: float = 0.5):

@@ -78,13 +78,14 @@ class TrackerConfig:
     appearance_weight: float = 0.7   # jde cost mix
     max_cosine_distance: float = 0.3
     ema_alpha: float = 0.9           # embedding EMA
+    jde_gate: float = 0.8            # jde mixed-cost acceptance threshold
 
 
 class Tracker:
     """Stateful multi-object tracker over one video."""
 
-    def __init__(self, cfg: TrackerConfig = TrackerConfig()):
-        self.cfg = cfg
+    def __init__(self, cfg: Optional[TrackerConfig] = None):
+        self.cfg = cfg = cfg if cfg is not None else TrackerConfig()
         K = cfg.max_tracks
         self.kf = KalmanBank(K)
         self.active = np.zeros(K, bool)
@@ -93,6 +94,7 @@ class Tracker:
         self.hits = np.zeros(K, int)
         self.misses = np.zeros(K, int)
         self.embedding = np.zeros((K, 128))
+        self.det_conf = np.zeros(K)      # last matched detection score
         self._next_id = 0
 
     # ------------------------------------------------------------------
@@ -100,11 +102,13 @@ class Tracker:
         free = np.flatnonzero(~self.active)[:n]
         return free
 
-    def _spawn(self, boxes_tlhw: np.ndarray, embeddings: Optional[np.ndarray]):
+    def _spawn(self, boxes_tlhw: np.ndarray, scores: np.ndarray,
+               embeddings: Optional[np.ndarray]):
         slots = self._new_slots(len(boxes_tlhw))
         if slots.size == 0:
             return
         boxes_tlhw = boxes_tlhw[: slots.size]
+        self.det_conf[slots] = scores[: slots.size]
         self.kf.initiate(slots, KalmanBank.tlhw_to_xyah(boxes_tlhw))
         self.active[slots] = True
         self.confirmed[slots] = self.cfg.min_hits <= 1
@@ -115,8 +119,9 @@ class Tracker:
         if embeddings is not None:
             self.embedding[slots] = embeddings[: slots.size]
 
-    def _mark_matched(self, slots, boxes_tlhw, embeddings):
+    def _mark_matched(self, slots, boxes_tlhw, scores, embeddings):
         self.kf.update(slots, KalmanBank.tlhw_to_xyah(boxes_tlhw))
+        self.det_conf[slots] = scores
         self.hits[slots] += 1
         self.misses[slots] = 0
         self.confirmed[slots] |= self.hits[slots] >= self.cfg.min_hits
@@ -200,7 +205,7 @@ class Tracker:
                 w = cfg.appearance_weight
                 cost = w * np.minimum(app, 1.0) + (1 - w) * cost
             pairs, _, _ = linear_assignment(cost, 1.0 - cfg.iou_threshold
-                                            if cfg.variant != "jde" else 0.8)
+                                            if cfg.variant != "jde" else cfg.jde_gate)
             for r, c in pairs:
                 matched_slots.append(free_act[r])
                 matched_dets.append(d_hi[c])
@@ -220,7 +225,7 @@ class Tracker:
         matched_slots = np.array(matched_slots, int)
         matched_dets = np.array(matched_dets, int)
         if matched_slots.size:
-            self._mark_matched(matched_slots, boxes[matched_dets],
+            self._mark_matched(matched_slots, boxes[matched_dets], scores[matched_dets],
                                embeddings[matched_dets] if embeddings is not None else None)
 
         unmatched = np.setdiff1d(act, matched_slots)
@@ -229,7 +234,7 @@ class Tracker:
         # births from unmatched high-score detections
         spawn_dets = np.setdiff1d(np.flatnonzero(high), matched_dets)
         if spawn_dets.size:
-            self._spawn(boxes[spawn_dets],
+            self._spawn(boxes[spawn_dets], scores[spawn_dets],
                         embeddings[spawn_dets] if embeddings is not None else None)
 
         # emit confirmed, currently-seen tracks
@@ -239,7 +244,7 @@ class Tracker:
             tlhw = self.kf.tlhw(np.array([s]))[0]
             tlbr = np.array([tlhw[0], tlhw[1], tlhw[0] + tlhw[2], tlhw[1] + tlhw[3]])
             out.append(dict(track_id=int(self.track_id[s]), tlhw=tlhw, tlbr=tlbr,
-                            confidence=1.0))
+                            confidence=float(self.det_conf[s])))
         return out
 
 

@@ -113,15 +113,36 @@ def convert_vit_block(torch_state: Dict[str, np.ndarray], prefix: str,
     }
 
 
+def _conv1d_with_bn(torch_state: Dict[str, np.ndarray], conv: str,
+                    bn: str | None) -> Dict:
+    """One torch Conv1d (+ optional folded BatchNorm1d) → flax Conv params."""
+    p = t2f_conv1d(torch_state[f"{conv}.weight"],
+                   torch_state.get(f"{conv}.bias"))
+    if bn is not None and f"{bn}.weight" in torch_state:
+        kernel, bias = fold_batchnorm_into_conv(
+            p["kernel"], p.get("bias"),
+            torch_state[f"{bn}.weight"], torch_state[f"{bn}.bias"],
+            torch_state[f"{bn}.running_mean"], torch_state[f"{bn}.running_var"])
+        p = {"kernel": kernel, "bias": bias}
+    return p
+
+
 def convert_videopose3d(torch_state: Dict[str, np.ndarray]) -> Dict:
-    """Map a VideoPose3D TemporalModel state dict onto TemporalLifter slots
-    (conv weights only; the BN stats fold into the convs)."""
-    out = {}
-    idx = 0
-    for k in sorted(torch_state):
-        if k.endswith("weight") and "conv" in k.lower() and torch_state[k].ndim == 3:
-            out[f"Conv_{idx}"] = t2f_conv1d(torch_state[k])
-            idx += 1
+    """Map a VideoPose3D TemporalModel state dict onto TemporalLifter slots.
+
+    Layer names are mapped *explicitly* in architecture order — expand_conv,
+    layers_conv.N in numeric order, then the final ``shrink`` output conv —
+    with each conv's BatchNorm folded in (ref videopose3d model layout:
+    wrappers/videopose3d.py:40-57 builds TemporalModelOptimized1f)."""
+    out = {"Conv_0": _conv1d_with_bn(torch_state, "expand_conv", "expand_bn")}
+    idx = 1
+    layer_ids = sorted({int(k.split(".")[1]) for k in torch_state
+                        if k.startswith("layers_conv.")})
+    for i in layer_ids:
+        out[f"Conv_{idx}"] = _conv1d_with_bn(
+            torch_state, f"layers_conv.{i}", f"layers_bn.{i}")
+        idx += 1
+    out[f"Conv_{idx}"] = _conv1d_with_bn(torch_state, "shrink", None)
     return out
 
 
@@ -143,7 +164,10 @@ def main():
         params = convert_videopose3d(state)
     else:
         num_heads = 12
-        blocks = sorted({k.split(".")[1] for k in state if k.startswith("blocks.")})
+        # numeric sort: lexical order would scramble block 10/11 vs 2 for
+        # any arch deeper than 9 blocks
+        blocks = sorted({k.split(".")[1] for k in state if k.startswith("blocks.")},
+                        key=int)
         params = {f"TransformerBlock_{i}": convert_vit_block(state, f"blocks.{b}", num_heads)
                   for i, b in enumerate(blocks)}
 
