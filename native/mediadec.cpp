@@ -1,0 +1,284 @@
+// Native host-side media runtime: libavcodec video decode into caller-owned
+// I420 buffers, plus the fused host pixel ops the streaming pipeline needs
+// (detection downsample, bbox crop+resize) — all zero-Python-per-frame.
+//
+// Replaces the reference's cv2/ffmpeg-subprocess media layer
+// (reference pose_pipeline/pipeline.py:47-87, utils/bounding_box.py:101-194)
+// with a first-party C++ feeder: the TPU does all tensor compute; the host's
+// only jobs are entropy decode and byte shuffling, and those must not pay
+// per-frame interpreter, allocator, or cv2-dispatch costs.
+//
+// I420 frame layout used throughout: one contiguous byte block of size
+// W*H*3/2 per frame — Y plane (H×W), then U (H/2×W/2), then V (H/2×W/2).
+// Device-side ops (ops/colorspace.py) reshape this flat block and convert
+// YUV→RGB on the TPU, where the 3×3 colorspace matmul is effectively free.
+//
+// Build: g++ -O3 -march=native -shared -fPIC mediadec.cpp -lavformat -lavcodec
+//        -lavutil -lswscale -o _libpptmedia.so
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+namespace {
+
+struct Decoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  SwsContext* sws = nullptr;  // only if source pix_fmt != YUV420P
+  AVPacket* pkt = nullptr;
+  AVFrame* frame = nullptr;
+  AVFrame* conv = nullptr;    // swscale target when converting
+  int stream_index = -1;
+  int width = 0, height = 0;
+  double fps = 0.0;
+  int64_t nframes = 0;
+  bool draining = false;
+};
+
+// Copy an AVFrame (yuv420p) into a contiguous I420 block.
+void copy_i420(const AVFrame* f, uint8_t* dst, int W, int H) {
+  uint8_t* p = dst;
+  for (int r = 0; r < H; ++r, p += W)
+    std::memcpy(p, f->data[0] + (size_t)r * f->linesize[0], W);
+  const int cw = W / 2, ch = H / 2;
+  for (int r = 0; r < ch; ++r, p += cw)
+    std::memcpy(p, f->data[1] + (size_t)r * f->linesize[1], cw);
+  for (int r = 0; r < ch; ++r, p += cw)
+    std::memcpy(p, f->data[2] + (size_t)r * f->linesize[2], cw);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open a video; threads>1 enables libavcodec frame threading (multi-core
+// hosts); threads==0 lets ffmpeg pick. Returns NULL on failure.
+void* mdec_open(const char* path, int threads) {
+  av_log_set_level(AV_LOG_ERROR);
+  Decoder* d = new Decoder();
+  if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) { delete d; return nullptr; }
+  if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
+    avformat_close_input(&d->fmt); delete d; return nullptr;
+  }
+  const AVCodec* dec = nullptr;
+  d->stream_index = av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &dec, 0);
+  if (d->stream_index < 0 || !dec) {
+    avformat_close_input(&d->fmt); delete d; return nullptr;
+  }
+  AVStream* st = d->fmt->streams[d->stream_index];
+  d->codec = avcodec_alloc_context3(dec);
+  avcodec_parameters_to_context(d->codec, st->codecpar);
+  d->codec->thread_count = threads < 0 ? 1 : threads;
+  d->codec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+  // decode shortcuts that do not change pixel output for common codecs
+  d->codec->flags2 |= AV_CODEC_FLAG2_FAST;
+  if (avcodec_open2(d->codec, dec, nullptr) < 0) {
+    avcodec_free_context(&d->codec); avformat_close_input(&d->fmt); delete d; return nullptr;
+  }
+  d->width = d->codec->width;
+  d->height = d->codec->height;
+  AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+  d->fps = fr.den ? (double)fr.num / fr.den : 0.0;
+  d->nframes = st->nb_frames;
+  d->pkt = av_packet_alloc();
+  d->frame = av_frame_alloc();
+  return d;
+}
+
+int mdec_width(void* h)  { return ((Decoder*)h)->width; }
+int mdec_height(void* h) { return ((Decoder*)h)->height; }
+double mdec_fps(void* h) { return ((Decoder*)h)->fps; }
+int64_t mdec_nframes(void* h) { return ((Decoder*)h)->nframes; }
+
+// Decode up to max_frames into out (contiguous I420 blocks of W*H*3/2 bytes
+// each). Returns the number of frames written; 0 = end of stream; -1 = error.
+int mdec_read(void* h, uint8_t* out, int max_frames) {
+  Decoder* d = (Decoder*)h;
+  const int W = d->width, H = d->height;
+  const size_t fsz = (size_t)W * H * 3 / 2;
+  int n = 0;
+  while (n < max_frames) {
+    int r = avcodec_receive_frame(d->codec, d->frame);
+    if (r == 0) {
+      if (d->frame->format == AV_PIX_FMT_YUV420P ||
+          d->frame->format == AV_PIX_FMT_YUVJ420P) {
+        copy_i420(d->frame, out + (size_t)n * fsz, W, H);
+      } else {
+        if (!d->sws) {
+          d->sws = sws_getContext(W, H, (AVPixelFormat)d->frame->format,
+                                  W, H, AV_PIX_FMT_YUV420P,
+                                  SWS_BILINEAR, nullptr, nullptr, nullptr);
+          d->conv = av_frame_alloc();
+          d->conv->format = AV_PIX_FMT_YUV420P;
+          d->conv->width = W; d->conv->height = H;
+          av_frame_get_buffer(d->conv, 32);
+        }
+        sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, H,
+                  d->conv->data, d->conv->linesize);
+        copy_i420(d->conv, out + (size_t)n * fsz, W, H);
+      }
+      av_frame_unref(d->frame);
+      ++n;
+      continue;
+    }
+    if (r == AVERROR_EOF) break;
+    if (r != AVERROR(EAGAIN)) return n > 0 ? n : -1;
+    if (d->draining) continue;
+    // feed more packets
+    int pr = av_read_frame(d->fmt, d->pkt);
+    if (pr < 0) {
+      avcodec_send_packet(d->codec, nullptr);  // start drain
+      d->draining = true;
+      continue;
+    }
+    if (d->pkt->stream_index == d->stream_index)
+      avcodec_send_packet(d->codec, d->pkt);
+    av_packet_unref(d->pkt);
+  }
+  return n;
+}
+
+void mdec_close(void* h) {
+  Decoder* d = (Decoder*)h;
+  if (d->sws) sws_freeContext(d->sws);
+  if (d->conv) av_frame_free(&d->conv);
+  if (d->frame) av_frame_free(&d->frame);
+  if (d->pkt) av_packet_free(&d->pkt);
+  if (d->codec) avcodec_free_context(&d->codec);
+  if (d->fmt) avformat_close_input(&d->fmt);
+  delete d;
+}
+
+// ---------------------------------------------------------------------------
+// Host pixel ops on I420 frames (no per-frame Python/numpy/cv2 overhead).
+// ---------------------------------------------------------------------------
+
+// Integer-stride downsample of an I420 frame into a smaller I420 frame for
+// the detection branch: out dims (oh, ow) with oh=H/s/2*2, ow=W/s/2*2 chosen
+// by the caller; plain nearest (stride) sampling — a memcpy-class op, same
+// semantics as frames[::s, ::s] on the Y plane.
+void mdec_downsample_i420(const uint8_t* src, int W, int H, int s,
+                          uint8_t* dst, int ow, int oh) {
+  const uint8_t* Y = src;
+  const uint8_t* U = src + (size_t)W * H;
+  const uint8_t* V = U + (size_t)W * H / 4;
+  uint8_t* p = dst;
+  for (int r = 0; r < oh; ++r) {
+    const uint8_t* row = Y + (size_t)(r * s) * W;
+    for (int c = 0; c < ow; ++c) p[c] = row[c * s];
+    p += ow;
+  }
+  const int cw = W / 2, ocw = ow / 2, och = oh / 2;
+  for (int r = 0; r < och; ++r) {
+    const uint8_t* row = U + (size_t)(r * s) * cw;
+    for (int c = 0; c < ocw; ++c) p[c] = row[c * s];
+    p += ocw;
+  }
+  for (int r = 0; r < och; ++r) {
+    const uint8_t* row = V + (size_t)(r * s) * cw;
+    for (int c = 0; c < ocw; ++c) p[c] = row[c * s];
+    p += ocw;
+  }
+}
+
+namespace {
+// Bilinear resize of a sub-rectangle of one plane into a sub-rectangle of an
+// output plane; out-of-source area is left untouched (caller zeroes).
+void resize_plane_region(const uint8_t* src, int sw, int sh,
+                         float x0, float y0, float bw, float bh,
+                         uint8_t* dst, int dw, int /*dh*/,
+                         int ox0, int oy0, int ox1, int oy1,
+                         int full_ow, int full_oh) {
+  const float sx = bw / full_ow, sy = bh / full_oh;
+  for (int r = oy0; r < oy1; ++r) {
+    float fy = y0 + (r + 0.5f) * sy - 0.5f;
+    int iy = (int)fy; float wy = fy - iy;
+    if (fy < 0) { iy = 0; wy = 0; }
+    if (iy >= sh - 1) { iy = sh - 2 < 0 ? 0 : sh - 2; wy = 1; }
+    const uint8_t* r0 = src + (size_t)iy * sw;
+    const uint8_t* r1 = src + (size_t)std::min(iy + 1, sh - 1) * sw;
+    uint8_t* o = dst + (size_t)r * dw;
+    for (int c = ox0; c < ox1; ++c) {
+      float fx = x0 + (c + 0.5f) * sx - 0.5f;
+      int ix = (int)fx; float wx = fx - ix;
+      if (fx < 0) { ix = 0; wx = 0; }
+      if (ix >= sw - 1) { ix = sw - 2 < 0 ? 0 : sw - 2; wx = 1; }
+      float v = (1 - wy) * ((1 - wx) * r0[ix] + wx * r0[ix + 1]) +
+                wy * ((1 - wx) * r1[ix] + wx * r1[ix + 1]);
+      o[c] = (uint8_t)(v + 0.5f);
+    }
+  }
+}
+}  // namespace
+
+// Crop box (x, y, w, h) in full-res pixel coords out of an I420 frame and
+// bilinear-resize to an I420 crop of (tw, th). The out-of-image part of the
+// box stays zero (cv2 constant-border semantics, matching
+// runtime/stream.py's host crop and ops/warp.py's device crop).
+void mdec_crop_i420(const uint8_t* src, int W, int H,
+                    float bx, float by, float bw, float bh,
+                    uint8_t* dst, int tw, int th) {
+  std::memset(dst, 0, (size_t)tw * th * 3 / 2);
+  if (bw <= 0 || bh <= 0) return;
+  // output region covered by the image (rest stays zero)
+  float xi0 = std::max(bx, 0.0f), yi0 = std::max(by, 0.0f);
+  float xi1 = std::min(bx + bw, (float)W), yi1 = std::min(by + bh, (float)H);
+  if (xi1 <= xi0 || yi1 <= yi0) return;
+  int ox0 = (int)((xi0 - bx) / bw * tw + 0.5f);
+  int ox1 = (int)((xi1 - bx) / bw * tw + 0.5f);
+  int oy0 = (int)((yi0 - by) / bh * th + 0.5f);
+  int oy1 = (int)((yi1 - by) / bh * th + 0.5f);
+  ox0 = std::max(0, ox0); oy0 = std::max(0, oy0);
+  ox1 = std::min(tw, ox1); oy1 = std::min(th, oy1);
+  if (ox1 <= ox0 || oy1 <= oy0) return;
+  const uint8_t* Y = src;
+  const uint8_t* U = src + (size_t)W * H;
+  const uint8_t* V = U + (size_t)W * H / 4;
+  uint8_t* dY = dst;
+  uint8_t* dU = dst + (size_t)tw * th;
+  uint8_t* dV = dU + (size_t)tw * th / 4;
+  resize_plane_region(Y, W, H, bx, by, bw, bh, dY, tw, th,
+                      ox0, oy0, ox1, oy1, tw, th);
+  resize_plane_region(U, W / 2, H / 2, bx / 2, by / 2, bw / 2, bh / 2,
+                      dU, tw / 2, th / 2, ox0 / 2, oy0 / 2, ox1 / 2, oy1 / 2,
+                      tw / 2, th / 2);
+  resize_plane_region(V, W / 2, H / 2, bx / 2, by / 2, bw / 2, bh / 2,
+                      dV, tw / 2, th / 2, ox0 / 2, oy0 / 2, ox1 / 2, oy1 / 2,
+                      tw / 2, th / 2);
+}
+
+// Batch crop: frames is N contiguous I420 frames; boxes is N×4 float32
+// (x, y, w, h); writes N I420 crops of (tw, th).
+void mdec_crop_batch_i420(const uint8_t* frames, int N, int W, int H,
+                          const float* boxes, uint8_t* dst, int tw, int th) {
+  const size_t fsz = (size_t)W * H * 3 / 2;
+  const size_t csz = (size_t)tw * th * 3 / 2;
+  for (int i = 0; i < N; ++i) {
+    const float* b = boxes + 4 * i;
+    mdec_crop_i420(frames + fsz * i, W, H, b[0], b[1], b[2], b[3],
+                   dst + csz * i, tw, th);
+  }
+}
+
+// Batch downsample of every ``interval``-th frame: reads frames
+// 0, interval, 2*interval, … from a contiguous I420 frame block and writes
+// n_out small I420 frames (the detection keyframe batch).
+void mdec_downsample_batch_i420(const uint8_t* frames, int n_out, int W,
+                                int H, int s, int interval,
+                                uint8_t* dst, int ow, int oh) {
+  const size_t fsz = (size_t)W * H * 3 / 2;
+  const size_t osz = (size_t)ow * oh * 3 / 2;
+  for (int i = 0; i < n_out; ++i)
+    mdec_downsample_i420(frames + fsz * (size_t)i * interval, W, H, s,
+                         dst + osz * i, ow, oh);
+}
+
+}  // extern "C"

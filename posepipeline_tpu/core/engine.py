@@ -332,6 +332,22 @@ class Schema:
         sql = f'CREATE TABLE IF NOT EXISTS "{cls.table_name}" ({", ".join(cols)}, PRIMARY KEY ({pk}))'
         with _write_lock(self.connection()) as conn:
             conn.execute(sql)
+            # FK-prefix indexes: semijoins/antijoins and natural joins
+            # correlate on parent primary keys; index any FK column set not
+            # already covered by this table's own PK prefix (SQLite indexes
+            # the PK automatically).
+            for parent_name, _in_key in cls.heading.foreign_keys:
+                parent = self.tables.get(parent_name)
+                if parent is None:
+                    continue
+                fk_cols = [c for c in parent.heading.primary_key
+                           if c in cls.heading.attributes]
+                if not fk_cols or fk_cols == cls.heading.primary_key[:len(fk_cols)]:
+                    continue
+                idx = f"idx__{cls.table_name}__{_camel_to_snake(parent_name)}"
+                collist = ", ".join(f'"{c}"' for c in fk_cols)
+                conn.execute(
+                    f'CREATE INDEX IF NOT EXISTS "{idx}" ON "{cls.table_name}" ({collist})')
 
     def drop(self):
         """Drop all tables of this schema (testing helper)."""
@@ -460,6 +476,97 @@ def _norm(v):
 
 
 # ---------------------------------------------------------------------------
+# SQL compilation of restrictions (scale path)
+#
+# Everything the restriction algebra can express in SQLite is pushed down:
+# dict restrictions become indexed WHERE clauses, query-expression operands
+# become correlated EXISTS semijoins, Not(...) becomes NOT (so ``source -
+# computed`` — the populate antijoin — is a single NOT EXISTS scan), and
+# natural joins (key_source) compile to SQL JOINs. Only exotic operands
+# (joins-as-restrictions, renamed projections) fall back to Python matching.
+# This is what lets ``populate`` plan 10k+ keys in milliseconds instead of
+# decoding every blob row in Python (the reference gets the same property
+# from MySQL; see SURVEY.md §3.3).
+# ---------------------------------------------------------------------------
+
+
+def _expr_operand(r):
+    """Normalize a restriction operand to a QueryExpression (or None)."""
+    if isinstance(r, QueryExpression):
+        return r
+    if isinstance(r, Table):
+        return QueryExpression(type(r))
+    if isinstance(r, type) and issubclass(r, Table):
+        return QueryExpression(r)
+    return None
+
+
+def _compile_restriction(r, colmap, store, depth=0):
+    """Compile one restriction against ``colmap`` (name → (qualified_sql,
+    Attribute)). Returns (clause_sql, params) or None if not SQL-expressible."""
+    if r is None:
+        return "(1=1)", []
+    if isinstance(r, dict):
+        sub, params = [], []
+        for k, v in r.items():
+            if k in colmap:
+                qcol, attr = colmap[k]
+                sub.append(f"{qcol} = ?")
+                params.append(_to_sql_value(attr, v, store)
+                              if attr.logical != _LOGICAL_ATTACH else v)
+        if not sub:
+            return "(1=1)", []
+        return "(" + " AND ".join(sub) + ")", params
+    if isinstance(r, str):
+        return "(" + r.replace('"', "'") + ")", []
+    if isinstance(r, (list, tuple)):
+        if len(r) == 0:
+            return "(1=0)", []
+        parts, params = [], []
+        for x in r:
+            c = _compile_restriction(x, colmap, store, depth)
+            if c is None:
+                return None
+            parts.append(c[0])
+            params.extend(c[1])
+        return "(" + " OR ".join(parts) + ")", params
+    if isinstance(r, Not):
+        c = _compile_restriction(r.operand, colmap, store, depth)
+        if c is None:
+            return None
+        return f"(NOT {c[0]})", c[1]
+    expr = _expr_operand(r)
+    if expr is not None:
+        return _compile_semijoin(expr, colmap, store, depth)
+    return None
+
+
+def _compile_semijoin(expr, outer_colmap, store, depth):
+    """EXISTS (SELECT 1 FROM inner WHERE corr AND inner-restrictions)."""
+    if isinstance(expr, JoinExpression):
+        return None  # joins as restriction operands: Python fallback
+    if isinstance(expr, ProjExpression) and expr._renames:
+        return None  # renamed columns would need reverse mapping
+    alias = f"s{depth}"
+    inner_names = expr.heading.names
+    table_attrs = expr._table.heading.attributes
+    inner_colmap = {n: (f'{alias}."{n}"', table_attrs[n])
+                    for n in inner_names if n in table_attrs}
+    shared = [n for n in inner_names if n in outer_colmap]
+    clauses = [f"{inner_colmap[n][0]} = {outer_colmap[n][0]}" for n in shared]
+    params: list = []
+    for rr in expr._restrictions:
+        c = _compile_restriction(rr, inner_colmap, store, depth + 1)
+        if c is None:
+            return None
+        clauses.append(c[0])
+        params.extend(c[1])
+    where = " AND ".join(clauses) if clauses else "1=1"
+    return (f'EXISTS (SELECT 1 FROM "{expr._table.table_name}" AS {alias} '
+            f"WHERE {where})", params)
+
+
+# ---------------------------------------------------------------------------
 # Query expressions
 # ---------------------------------------------------------------------------
 
@@ -499,38 +606,40 @@ class QueryExpression:
         return ProjExpression(self, attrs, renames)
 
     # -- execution ---------------------------------------------------------
-    def _sql_where(self) -> Tuple[str, list]:
-        """Push dict/str restrictions into SQL; return residual python restrictions."""
+    def _sql_where(self) -> Tuple[str, list, list]:
+        """Push restrictions into SQL; return (where, params, residual)."""
+        store = self._table._schema.store
+        colmap = {n: (f't."{n}"', a) for n, a in self.heading.attributes.items()}
         clauses, params, residual = [], [], []
-        names = set(self.heading.names)
         for r in self._restrictions:
-            if isinstance(r, dict):
-                sub = []
-                for k, v in r.items():
-                    if k in names:
-                        attr = self.heading.attributes[k]
-                        sub.append(f'"{k}" = ?')
-                        params.append(_to_sql_value(attr, v, self._table._schema.store)
-                                      if attr.logical != _LOGICAL_ATTACH else v)
-                if sub:
-                    clauses.append("(" + " AND ".join(sub) + ")")
-            elif isinstance(r, str):
-                clauses.append("(" + r.replace('"', "'") + ")")
-            else:
+            c = _compile_restriction(r, colmap, store)
+            if c is None:
                 residual.append(r)
+            else:
+                clauses.append(c[0])
+                params.extend(c[1])
         where = (" WHERE " + " AND ".join(clauses)) if clauses else ""
         return where, params, residual
 
-    def _rows(self, raw_attach=True) -> List[Dict[str, Any]]:
+    def _rows(self, raw_attach=True, cols: Optional[Sequence[str]] = None,
+              distinct: bool = False) -> List[Dict[str, Any]]:
+        """Execute. ``cols`` prunes the SELECT list (skipping blob decode for
+        key-only scans); residual Python restrictions force a full fetch."""
         where, params, residual = self._sql_where()
+        if residual:
+            cols = None  # residual matching may need any column
+        attrs = (list(self.heading.attributes.values()) if cols is None
+                 else [self.heading.attributes[n] for n in cols])
         conn = self._table._schema.connection()
-        cols = ", ".join(f'"{n}"' for n in self.heading.names)
-        cur = conn.execute(f'SELECT {cols} FROM "{self._table.table_name}"{where}', params)
+        sel = ", ".join(f't."{a.name}"' for a in attrs)
+        verb = "SELECT DISTINCT" if distinct else "SELECT"
+        cur = conn.execute(
+            f'{verb} {sel} FROM "{self._table.table_name}" AS t{where}', params)
         store = self._table._schema.store
         out = []
         for values in cur.fetchall():
             row = {}
-            for attr, v in zip(self.heading.attributes.values(), values):
+            for attr, v in zip(attrs, values):
                 if attr.logical == _LOGICAL_ATTACH and raw_attach:
                     row[attr.name] = v
                 else:
@@ -540,16 +649,27 @@ class QueryExpression:
         return out
 
     def _shared_tuples(self, shared: Sequence[str]) -> set:
-        return {tuple(_norm(r.get(n)) for n in shared) for r in self._rows(raw_attach=True)}
+        rows = self._rows(raw_attach=True, cols=list(shared))
+        return {tuple(_norm(r.get(n)) for n in shared) for r in rows}
 
     def __len__(self) -> int:
+        # COUNT(*) fast path only for plain table expressions: subclasses
+        # (projections, joins) define their own row semantics via _rows.
+        if type(self) is QueryExpression:
+            where, params, residual = self._sql_where()
+            if not residual:
+                conn = self._table._schema.connection()
+                cur = conn.execute(
+                    f'SELECT COUNT(*) FROM "{self._table.table_name}" AS t{where}',
+                    params)
+                return int(cur.fetchone()[0])
         return len(self._rows(raw_attach=True))
 
     def __bool__(self) -> bool:
         return len(self) > 0
 
     def __iter__(self):
-        for row in self._rows(raw_attach=True):
+        for row in self._rows(raw_attach=True, cols=self.primary_key):
             yield {k: row[k] for k in self.primary_key}
 
     def fetch(self, *attrs, order_by: Optional[str] = None, limit: Optional[int] = None,
@@ -651,8 +771,13 @@ class ProjExpression(QueryExpression):
             h.attributes[new] = Attribute(new, a.decl_type, a.sql_type, a.logical, a.in_key, a.default, a.comment, a.store)
         return h
 
-    def _rows(self, raw_attach=True):
-        rows = QueryExpression(self._table, self._restrictions)._rows(raw_attach=raw_attach)
+    def _rows(self, raw_attach=True, cols=None, distinct=False):
+        base_cols = None
+        if not self._renames:
+            base_cols = [n for n in self._table.heading.attributes
+                         if self._table.heading.attributes[n].in_key or n in self._keep]
+        rows = QueryExpression(self._table, self._restrictions)._rows(
+            raw_attach=raw_attach, cols=base_cols)
         out = []
         for r in rows:
             nr = {k: v for k, v in r.items()
@@ -698,7 +823,72 @@ class JoinExpression(QueryExpression):
         other_expr = other if isinstance(other, QueryExpression) else QueryExpression(other)
         return JoinExpression(self._parts + [other_expr], self._restrictions)
 
-    def _rows(self, raw_attach=True):
+    def _sql_join(self, cols, distinct):
+        """Compile the natural join + restrictions to one SQL query.
+
+        Returns (sql, params, attrs) or None when a part/restriction is not
+        SQL-expressible (renamed projections, nested joins, custom operands).
+        """
+        store = self._table._schema.store
+        colmap: Dict[str, tuple] = {}  # name -> (qualified, attr), first part wins
+        part_maps = []
+        for i, p in enumerate(self._parts):
+            if type(p) is not QueryExpression:
+                return None
+            alias = f"j{i}"
+            pmap = {n: (f'{alias}."{n}"', a) for n, a in p.heading.attributes.items()}
+            part_maps.append(pmap)
+            for n, qa in pmap.items():
+                colmap.setdefault(n, qa)
+        from_sql = f'"{self._parts[0]._table.table_name}" AS j0'
+        seen_names = set(self._parts[0].heading.names)
+        clauses, params = [], []
+        for i, p in enumerate(self._parts[1:], 1):
+            shared = [n for n in p.heading.names if n in seen_names]
+            on = " AND ".join(f'{part_maps[i][n][0]} = {colmap[n][0]}' for n in shared) or "1=1"
+            from_sql += f' JOIN "{p._table.table_name}" AS j{i} ON {on}'
+            seen_names.update(p.heading.names)
+        for i, p in enumerate(self._parts):
+            for r in p._restrictions:
+                if isinstance(r, str):
+                    return None  # unqualified names are ambiguous across aliases
+                c = _compile_restriction(r, part_maps[i], store)
+                if c is None:
+                    return None
+                clauses.append(c[0])
+                params.extend(c[1])
+        for r in self._restrictions:
+            if isinstance(r, str):
+                return None
+            c = _compile_restriction(r, colmap, store)
+            if c is None:
+                return None
+            clauses.append(c[0])
+            params.extend(c[1])
+        names = self.heading.names if cols is None else list(cols)
+        attrs = [self.heading.attributes[n] for n in names]
+        sel = ", ".join(colmap[n][0] for n in names)
+        where = (" WHERE " + " AND ".join(clauses)) if clauses else ""
+        verb = "SELECT DISTINCT" if distinct else "SELECT"
+        return f"{verb} {sel} FROM {from_sql}{where}", params, attrs
+
+    def _rows(self, raw_attach=True, cols=None, distinct=False):
+        compiled = self._sql_join(cols, distinct)
+        if compiled is not None:
+            sql, params, attrs = compiled
+            conn = self._table._schema.connection()
+            store = self._table._schema.store
+            out = []
+            for values in conn.execute(sql, params).fetchall():
+                row = {}
+                for attr, v in zip(attrs, values):
+                    if attr.logical == _LOGICAL_ATTACH and raw_attach:
+                        row[attr.name] = v
+                    else:
+                        row[attr.name] = _from_sql_value(attr, v, store)
+                out.append(row)
+            return out
+        # Python fallback: nested-loop natural join + row matching
         rows = [dict(r) for r in self._parts[0]._rows(raw_attach=True)]
         for p in self._parts[1:]:
             p_rows = p._rows(raw_attach=True)
@@ -882,8 +1072,12 @@ class AutoPopulate(Table):
             if r is not None:
                 source = source & r
         todo = source - cls._expr()
-        keys = [{k: row[k] for k in source.primary_key} for row in todo._rows(raw_attach=True)]
-        # de-duplicate (joins can produce repeated key projections)
+        # key-only scan: the antijoin compiles to one NOT EXISTS SQL query
+        # (no blob decode); DISTINCT collapses repeated key projections
+        keys = [{k: row[k] for k in source.primary_key}
+                for row in todo._rows(raw_attach=True,
+                                      cols=source.primary_key, distinct=True)]
+        # de-duplicate (Python-fallback paths can still produce repeats)
         seen, uniq = set(), []
         for k in keys:
             h = key_hash(k)

@@ -1,0 +1,212 @@
+"""ctypes bindings for the native media runtime (native/mediadec.cpp).
+
+The streaming pipeline's host work is entropy decode + byte shuffling; this
+module gives both to C++ (libavcodec decode → contiguous I420 blocks;
+detection downsample; bbox crop+resize), eliminating per-frame Python, numpy
+allocation, and cv2 dispatch costs. Device-side YUV→RGB conversion lives in
+ops/colorspace.py.
+
+Falls back cleanly: ``available()`` is False when g++ or the ffmpeg dev
+libraries are missing, and callers (media/video.py, runtime/stream.py) keep
+using the cv2 path.
+
+Replaces (natively) the reference's media layer:
+reference pose_pipeline/pipeline.py:47-87 (robust reader),
+utils/bounding_box.py:101-194 (person dataloader crops).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+_SRC = os.path.join(_REPO_ROOT, "native", "mediadec.cpp")
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "_libpptmedia.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def build(force: bool = False) -> str:
+    """Compile the native media library (g++ -O3, links system ffmpeg)."""
+    if force or not os.path.exists(_LIB_PATH) or (
+            os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)):
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+               _SRC, "-lavformat", "-lavcodec", "-lavutil", "-lswscale",
+               "-o", _LIB_PATH]
+        subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def _load():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            build()
+            lib = ctypes.CDLL(_LIB_PATH)
+        except Exception:
+            _build_failed = True
+            return None
+        c = ctypes
+        lib.mdec_open.restype = c.c_void_p
+        lib.mdec_open.argtypes = [c.c_char_p, c.c_int]
+        lib.mdec_width.restype = c.c_int
+        lib.mdec_width.argtypes = [c.c_void_p]
+        lib.mdec_height.restype = c.c_int
+        lib.mdec_height.argtypes = [c.c_void_p]
+        lib.mdec_fps.restype = c.c_double
+        lib.mdec_fps.argtypes = [c.c_void_p]
+        lib.mdec_nframes.restype = c.c_int64
+        lib.mdec_nframes.argtypes = [c.c_void_p]
+        lib.mdec_read.restype = c.c_int
+        lib.mdec_read.argtypes = [c.c_void_p, c.POINTER(c.c_uint8), c.c_int]
+        lib.mdec_close.restype = None
+        lib.mdec_close.argtypes = [c.c_void_p]
+        lib.mdec_crop_batch_i420.restype = None
+        lib.mdec_crop_batch_i420.argtypes = [
+            c.POINTER(c.c_uint8), c.c_int, c.c_int, c.c_int,
+            c.POINTER(c.c_float), c.POINTER(c.c_uint8), c.c_int, c.c_int]
+        lib.mdec_downsample_batch_i420.restype = None
+        lib.mdec_downsample_batch_i420.argtypes = [
+            c.POINTER(c.c_uint8), c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
+            c.POINTER(c.c_uint8), c.c_int, c.c_int]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def i420_frame_bytes(width: int, height: int) -> int:
+    return width * height * 3 // 2
+
+
+class NativeVideoReader:
+    """Decode a video into contiguous I420 frame batches via libavcodec.
+
+    Each batch is a ``(n, H*3//2, W)`` uint8 array: frame i's flat I420 block
+    (Y plane H×W, then U and V quarter planes) viewed 2-D so downstream code
+    can ``device_put`` it directly. Use ops/colorspace.py to reshape/convert
+    on device.
+    """
+
+    def __init__(self, path: str, threads: int = -1):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native media library unavailable")
+        self._lib = lib
+        if threads < 0:
+            threads = 1 if (os.cpu_count() or 1) == 1 else 0  # 0 = ffmpeg picks
+        self._h = lib.mdec_open(path.encode(), threads)
+        if not self._h:
+            raise IOError(f"mdec_open failed for {path!r}")
+        self.width = lib.mdec_width(self._h)
+        self.height = lib.mdec_height(self._h)
+        self.fps = lib.mdec_fps(self._h)
+        self.num_frames = int(lib.mdec_nframes(self._h))
+        if self.width % 2 or self.height % 2:
+            self.close()
+            raise IOError("native reader requires even frame dimensions")
+
+    def read_batch(self, out: np.ndarray) -> int:
+        """Fill ``out`` (n, H*3//2, W) uint8 with up to n frames; returns the
+        number decoded (0 at end of stream)."""
+        if self._h is None:
+            return 0
+        n = self._lib.mdec_read(self._h, _u8ptr(out), out.shape[0])
+        if n < 0:
+            raise IOError("native decode error")
+        return n
+
+    def close(self):
+        if self._h is not None:
+            self._lib.mdec_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover - GC safety
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def yuv_batches(path: str, batch_size: int,
+                buf: Optional[np.ndarray] = None,
+                ) -> Iterator[Tuple[np.ndarray, int]]:
+    """Yield ``(batch (B, H*3//2, W) uint8, n_valid)`` fixed-shape batches.
+
+    The tail batch is zero-padded past ``n_valid``. When ``buf`` is passed it
+    is reused for every batch (caller must consume before the next step).
+    """
+    with NativeVideoReader(path) as r:
+        shape = (batch_size, r.height * 3 // 2, r.width)
+        while True:
+            out = buf if buf is not None and buf.shape == shape else np.zeros(shape, np.uint8)
+            n = r.read_batch(out)
+            if n == 0:
+                return
+            if n < batch_size:
+                out[n:] = 0
+            yield out, n
+            if n < batch_size:
+                return
+
+
+def downsample_batch(frames: np.ndarray, width: int, height: int, stride: int,
+                     out_wh: Tuple[int, int], interval: int = 1,
+                     out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Strided (nearest) downsample of every ``interval``-th I420 frame.
+
+    frames: (N, H*3//2, W) uint8 contiguous; output has
+    ceil(N/interval) small frames of (oh*3//2, ow) — the detection keyframes.
+    """
+    lib = _load()
+    ow, oh = out_wh
+    n_out = (frames.shape[0] + interval - 1) // interval
+    if out is None:
+        out = np.empty((n_out, oh * 3 // 2, ow), np.uint8)
+    lib.mdec_downsample_batch_i420(_u8ptr(frames), n_out, width, height,
+                                   stride, interval, _u8ptr(out), ow, oh)
+    return out
+
+
+def crop_batch(frames: np.ndarray, width: int, height: int,
+               boxes: np.ndarray, crop_hw: Tuple[int, int],
+               out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Bilinear bbox crops of N I420 frames → N I420 crops.
+
+    frames: (N, H*3//2, W) uint8; boxes: (N, 4) float32 XYWH full-res pixels;
+    out: (N, th*3//2, tw) uint8. Out-of-image area is zero (constant border,
+    matching ops/warp.py and the cv2 host-crop semantics it replaces).
+    """
+    lib = _load()
+    th, tw = crop_hw
+    n = frames.shape[0]
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    if out is None:
+        out = np.empty((n, th * 3 // 2, tw), np.uint8)
+    lib.mdec_crop_batch_i420(_u8ptr(frames), n, width, height,
+                             boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                             _u8ptr(out), tw, th)
+    return out

@@ -251,6 +251,182 @@ def _fix_aspect_np(bbox, dilate: float = 1.2, ratio: float = 1.0):
     return np.concatenate([center - hw / 2.0, hw], axis=-1)
 
 
+class I420PoseEstimator:
+    """Native-decode streaming estimator: host ships compact I420 planes,
+    the device does colorspace conversion + detection + 2D pose.
+
+    Host work per frame collapses to C++ entropy decode plus two byte-shuffle
+    ops (native/mediadec.cpp): a strided keyframe downsample for the detection
+    branch and a bbox crop+resize for the top-down branch. Everything else —
+    BT.601 YUV→RGB (ops/colorspace.py), the detector, box decode, the 2D net,
+    DARK decode — is device work, and host→device traffic is ~0.1 MB/frame
+    (I420 crops + quarter-res keyframes) instead of 6.2 MB of full RGB.
+
+    Replaces the per-frame cv2 work of the reference's decode loops
+    (reference wrappers/mmpose.py:60-76, utils/bounding_box.py:101-194).
+    """
+
+    def __init__(self, detector: Optional[PersonDetector] = None,
+                 topdown: Optional[TopDownModel] = None,
+                 input_hw=(1080, 1920), det_scale: float = 0.25,
+                 det_interval: int = 4):
+        H, W = input_hw
+        self.input_hw = input_hw
+        s = max(int(round(1.0 / det_scale)), 1)
+        self.det_stride = s
+        # detection dims: /32-aligned for the conv net (and even for chroma)
+        self.det_hw = ((H // s) // 32 * 32, (W // s) // 32 * 32)
+        self.det_interval = max(int(det_interval), 1)
+        self.detector = detector or PersonDetector(input_hw=self.det_hw)
+        self.topdown = topdown or get_topdown_model("MMPose")
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _detect_yuv(self, det_params, small_yuv):
+        from ..models.detector import decode_centers
+        from ..ops.colorspace import i420_to_rgb
+
+        oh, ow = self.det_hw
+        x = i420_to_rgb(small_yuv, oh, ow) / 255.0
+        center, size, offset = self.detector.net.apply(det_params, x)
+        boxes, scores = decode_centers(center, size, offset,
+                                       k=self.detector.cfg.max_detections,
+                                       stride=self.detector.cfg.stride)
+        return boxes[:, 0], scores[:, 0]
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _pose_yuv(self, td_params, crops_yuv, fixed_boxes):
+        from ..ops.colorspace import i420_to_rgb
+
+        th, tw = self.topdown.cfg.input_hw
+        rgb = i420_to_rgb(crops_yuv, th, tw)
+        hm = self.topdown.net.apply(td_params, normalize_imagenet(rgb))
+        hm = jnp.transpose(hm, (0, 3, 1, 2))
+        return decode_heatmaps(hm, fixed_boxes)
+
+
+class NativeStreamingRunner:
+    """Stream videos through the I420-native pipeline with software
+    pipelining: chunk *k*'s detection runs on the device while chunk *k+1*
+    decodes on the host, and pose results are fetched lazily so device pose
+    work also hides behind decode. Two chunk buffers alternate; per chunk
+    there is exactly one detect dispatch, one box fetch, one C++ crop pass,
+    and one pose dispatch.
+
+    This is the production runtime for the clinic workload
+    (BASELINE.json configs[4]): videos are processed back-to-back through the
+    same compiled programs; on a multi-chip mesh, distinct hosts/workers take
+    distinct videos via the job engine (core/engine.py populate reservations),
+    which is the reference's own scale-out model (SURVEY.md §2.5).
+    """
+
+    def __init__(self, estimator: Optional[I420PoseEstimator] = None,
+                 lifter: Optional[LiftingModel] = None,
+                 chunk_frames: int = 96, max_inflight_pose: int = 4):
+        self.estimator = estimator
+        self.lifter = lifter
+        self.chunk_frames = int(chunk_frames)
+        self.max_inflight_pose = int(max_inflight_pose)
+
+    def run(self, video_paths: List[str], lift: bool = True) -> List[Dict]:
+        from ..native import media
+
+        if self.estimator is None:
+            info = video_info(video_paths[0])
+            self.estimator = I420PoseEstimator(input_hw=(info["height"], info["width"]))
+        if lift and self.lifter is None:
+            self.lifter = LiftingModel("GastNet")
+        est = self.estimator
+        H, W = est.input_hw
+        th, tw = est.topdown.cfg.input_hw
+        di = est.det_interval
+        C = self.chunk_frames
+        KF = (C + di - 1) // di
+        scale = np.array([est.det_stride] * 4, np.float64)
+        bufs = [np.zeros((C, H * 3 // 2, W), np.uint8) for _ in range(2)]
+        small_buf = np.zeros((KF, est.det_hw[0] * 3 // 2, est.det_hw[1]), np.uint8)
+        results = [dict(boxes=[], scores=[], keypoints=[]) for _ in video_paths]
+
+        pending_det = None   # (vid, buf_idx, n_valid, detect_future)
+        pose_futs: list = []  # (vid, n_valid, pose_future, boxes, scores)
+
+        def finish_det(entry):
+            vid, bidx, n, fut = entry
+            with metrics.StageTimer("native.fetch_boxes", frames=n):
+                kf_boxes = np.asarray(fut[0]) * scale
+                kf_scores = np.asarray(fut[1])
+            idx = np.minimum(np.arange(C) // di, len(kf_boxes) - 1)
+            boxes, scores = kf_boxes[idx], kf_scores[idx]
+            fixed = np.round(_fix_aspect_np(boxes, dilate=1.2, ratio=tw / th))
+            fixed = fixed.astype(np.float32)
+            with metrics.StageTimer("native.crop", frames=n):
+                crops = media.crop_batch(bufs[bidx], W, H, fixed, (th, tw))
+            fut2 = est._pose_yuv(est.topdown.params, jnp.asarray(crops),
+                                 jnp.asarray(fixed))
+            pose_futs.append((vid, n, fut2, boxes, scores))
+
+        def drain_pose(keep: int):
+            while len(pose_futs) > keep:
+                vid, n, fut, boxes, scores = pose_futs.pop(0)
+                with metrics.StageTimer("native.fetch_kp", frames=n):
+                    kp = np.asarray(fut)
+                results[vid]["boxes"].append(boxes[:n])
+                results[vid]["scores"].append(scores[:n])
+                results[vid]["keypoints"].append(kp[:n])
+
+        buf_idx = 0
+        import time as _time
+
+        for vid, path in enumerate(video_paths):
+            reader = media.NativeVideoReader(path)
+            try:
+                while True:
+                    buf = bufs[buf_idx]
+                    t0 = _time.perf_counter()
+                    n = reader.read_batch(buf)
+                    if n == 0:
+                        break
+                    metrics.record("decode", n, _time.perf_counter() - t0)
+                    if n < C:
+                        buf[n:] = 0
+                    with metrics.StageTimer("native.downsample", frames=KF):
+                        media.downsample_batch(buf, W, H, est.det_stride,
+                                               (est.det_hw[1], est.det_hw[0]),
+                                               interval=di, out=small_buf)
+                    # .copy(): small_buf is reused next chunk, and device_put
+                    # may alias numpy memory zero-copy on the CPU backend
+                    fut = est._detect_yuv(est.detector.params,
+                                          jnp.asarray(small_buf.copy()))
+                    if pending_det is not None:
+                        finish_det(pending_det)
+                    pending_det = (vid, buf_idx, n, fut)
+                    drain_pose(self.max_inflight_pose)
+                    buf_idx ^= 1
+            finally:
+                reader.close()
+        if pending_det is not None:
+            finish_det(pending_det)
+            pending_det = None
+        drain_pose(0)
+
+        out = []
+        for vid, r in enumerate(results):
+            kp = np.concatenate(r["keypoints"]) if r["keypoints"] else np.zeros((0, 17, 3))
+            item = dict(
+                video=video_paths[vid],
+                boxes=np.concatenate(r["boxes"]) if r["boxes"] else np.zeros((0, 4)),
+                scores=np.concatenate(r["scores"]) if r["scores"] else np.zeros(0),
+                keypoints2d=kp,
+            )
+            if lift and len(kp):
+                info = video_info(video_paths[vid])
+                with metrics.StageTimer("lift_3d", frames=len(kp)):
+                    kp3d, valid3 = self.lifter(kp, info["width"], info["height"])
+                item["keypoints3d"] = np.asarray(kp3d)
+                item["keypoints_valid"] = np.asarray(valid3)
+            out.append(item)
+        return out
+
+
 class _DecodeWorker(threading.Thread):
     """Decodes one video into fixed-shape batches on a bounded queue."""
 

@@ -233,3 +233,59 @@ def test_blob_roundtrip():
             assert out["nested"][2] == (1, 2)
         else:
             assert out == v or (v != v and out != out)
+
+
+def test_populate_scale_10k(schema):
+    """Engine scale criterion: planning + executing a 10k-key populate is
+    dominated by the makes themselves — the todo-key scan (SQL NOT EXISTS
+    antijoin over the key_source join) must stay around a second, not minutes
+    of Python-loop joins + per-row blob decode."""
+    import time
+
+    Session, MethodLookup, MethodChoice, Result = make_tables(schema)
+    n = 10_000
+    Session.insert([dict(project="p", session_id=i, start_time=datetime(2026, 1, 1))
+                    for i in range(n)])
+    MethodChoice.insert([dict(project="p", session_id=i, method=0) for i in range(n)])
+
+    class CountingResult(Result):
+        made = 0
+
+        def make(self, key):
+            type(self).made += 1
+            super().make(key)
+
+    # plan-only overhead: key scan with nothing to do after full population
+    t0 = time.perf_counter()
+    CountingResult.populate()
+    full_run = time.perf_counter() - t0
+    assert CountingResult.made == n
+
+    t0 = time.perf_counter()
+    CountingResult.populate()  # everything computed: pure planning overhead
+    overhead = time.perf_counter() - t0
+    assert CountingResult.made == n  # no re-makes
+    assert overhead < 1.0, f"populate planning overhead {overhead:.2f}s"
+    # sanity on the run itself: ~10k makes with blob writes, well under a minute
+    assert full_run < 60.0
+
+
+def test_semijoin_antijoin_sql_pushdown(schema):
+    """Expression restrictions (semijoin / antijoin) compile to SQL EXISTS —
+    verified behaviorally at a size where Python-loop matching would be slow,
+    and exactly on small cases."""
+    Session, MethodLookup, MethodChoice, Result = make_tables(schema)
+    Session.insert([dict(project="p", session_id=i, start_time=datetime(2026, 1, 1))
+                    for i in range(50)])
+    MethodChoice.insert([dict(project="p", session_id=i, method=i % 2) for i in range(30)])
+
+    # semijoin: sessions having a choice
+    assert len(Session & MethodChoice) == 30
+    # antijoin: sessions without a choice
+    assert len(Session - MethodChoice) == 20
+    # restricted operand pushes through
+    assert len(Session & (MethodChoice & {"method": 1})) == 15
+    # restriction lists become OR
+    assert len(Session & [{"session_id": 1}, {"session_id": 2}]) == 2
+    # empty list matches nothing (DataJoint convention)
+    assert len(Session & []) == 0

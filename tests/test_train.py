@@ -39,6 +39,7 @@ def test_topdown_targets_peak_location():
     assert (iy, ix) == (32, 24)
 
 
+@pytest.mark.slow
 def test_detector_learns_to_localize():
     """A small detector trained briefly on synthetic frames must localize the
     person far better than at init — real gradient flow through the whole
@@ -67,6 +68,7 @@ def test_detector_learns_to_localize():
         f"detector did not learn: IoU {iou_before:.3f} → {iou_after:.3f}"
 
 
+@pytest.mark.slow
 def test_topdown_loss_decreases():
     model = TopDownModel(TopDownConfig("tiny", num_joints=17, dim=64, depth=2,
                                        num_heads=2))
