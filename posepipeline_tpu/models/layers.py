@@ -102,7 +102,9 @@ class MlpBlock(nn.Module):
     def __call__(self, x):
         d = x.shape[-1]
         x = nn.Dense(self.mlp_dim, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        # exact (erf) GELU: matches the timm/torch blocks that converted
+        # checkpoints come from (flax defaults to the tanh approximation)
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(d, dtype=self.dtype)(x)
 
 
@@ -172,14 +174,22 @@ class DeconvHead(nn.Module):
     num_joints: int
     num_deconvs: int = 2
     features: int = 256
+    # "group": stat-free GroupNorm (TPU training default); "torch": biased
+    # deconvs in torch kernel layout with BatchNorm folded in by
+    # tools/convert_weights.py (checkpoint-parity inference form)
+    norm: str = "group"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
+        torch_compat = self.norm == "torch"
         for _ in range(self.num_deconvs):
             x = nn.ConvTranspose(self.features, (4, 4), (2, 2), padding="SAME",
-                                 use_bias=False, dtype=self.dtype)(x)
-            x = nn.GroupNorm(num_groups=32, dtype=jnp.float32)(x).astype(self.dtype)
+                                 use_bias=torch_compat,
+                                 transpose_kernel=torch_compat,
+                                 dtype=self.dtype)(x)
+            if not torch_compat:
+                x = nn.GroupNorm(num_groups=32, dtype=jnp.float32)(x).astype(self.dtype)
             x = nn.relu(x)
         x = nn.Conv(self.num_joints, (1, 1), dtype=jnp.float32)(x)
         return x  # (B, H, W, J) float32 heatmaps

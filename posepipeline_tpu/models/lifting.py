@@ -80,6 +80,10 @@ class LifterConfig:
     channels: int = 1024
     in_joints: int = 17
     out_joints: int = 17
+    # "layer": stat-free LayerNorm (TPU training default); "none": plain
+    # biased convs — the inference form of torch conv+BatchNorm after
+    # tools/convert_weights.py folds the BN stats in
+    norm: str = "layer"
 
     @property
     def receptive_field(self) -> int:
@@ -104,20 +108,20 @@ class TemporalLifter(nn.Module):
     def __call__(self, x):
         c = self.cfg
         x = x.astype(self.dtype)
-        dn = ("NWC", "WIO", "NWC")
-        conv = functools.partial(nn.Conv, padding="SAME", use_bias=False, dtype=self.dtype)
+        stat_free = c.norm != "none"
+        conv = functools.partial(nn.Conv, padding="SAME",
+                                 use_bias=not stat_free, dtype=self.dtype)
+        norm = ((lambda v: nn.LayerNorm(dtype=jnp.float32)(v).astype(self.dtype))
+                if stat_free else (lambda v: v))
         x = conv(c.channels, (c.filter_widths[0],))(x)
-        x = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
-        x = nn.relu(x)
+        x = nn.relu(norm(x))
         dilation = c.filter_widths[0]
         for w in c.filter_widths[1:]:
             res = x
             y = conv(c.channels, (w,), kernel_dilation=(dilation,))(x)
-            y = nn.LayerNorm(dtype=jnp.float32)(y).astype(self.dtype)
-            y = nn.relu(y)
+            y = nn.relu(norm(y))
             y = conv(c.channels, (1,))(y)
-            y = nn.LayerNorm(dtype=jnp.float32)(y).astype(self.dtype)
-            y = nn.relu(y)
+            y = nn.relu(norm(y))
             x = res + y
             dilation *= w
         x = nn.Dense(c.out_joints * 3, dtype=jnp.float32)(x)
@@ -183,10 +187,24 @@ LIFTER_CONFIGS = {
 class LiftingModel:
     """Bundled lifter: pixel-space 2D COCO keypoints → H36M 3D keypoints."""
 
-    def __init__(self, name: str = "VideoPose3D", params=None, seed: int = 0):
+    def __init__(self, name: str = "VideoPose3D", params=None, seed: int = 0,
+                 params_path=None, norm=None):
+        """``params_path`` loads a flat-npz checkpoint (trained via train.py
+        or converted via tools/convert_weights.py; auto-resolved from
+        ``$PPT_WEIGHTS_DIR/lifter__<name>.npz``). ``norm="none"`` selects the
+        torch-compatible conv stack for converted VideoPose3D-family weights
+        (BatchNorm folded into conv biases)."""
+        from dataclasses import replace
+
+        from .params_io import (commit_to_default, load_params, merge_params,
+                                registry_weights_path)
+
         kind, cfg = LIFTER_CONFIGS[name]
+        if norm is not None:
+            cfg = replace(cfg, norm=norm)
         self.cfg = cfg
         self.kind = kind
+        params_path = params_path or registry_weights_path("lifter", name)
         if kind == "temporal":
             self.net = TemporalLifter(cfg)
         elif kind == "mlp":
@@ -197,6 +215,9 @@ class LiftingModel:
             dummy = jnp.zeros((1, max(cfg.receptive_field, 8), cfg.in_joints * 2), jnp.float32)
             from .init_util import init_on_cpu
             params = init_on_cpu(self.net.init, jax.random.PRNGKey(seed), dummy)
+            if params_path:
+                params = commit_to_default(
+                    merge_params(params, load_params(params_path)))
         self.params = params
 
     @functools.partial(jax.jit, static_argnums=0)

@@ -38,6 +38,11 @@ class TopDownConfig:
     dim: int = 384
     depth: int = 8
     num_heads: int = 6
+    # "group": stat-free GroupNorm head (TPU-native training default);
+    # "torch": torch-compatible head (biased deconvs, BatchNorm folded by
+    # tools/convert_weights.py) for converted checkpoints
+    head_norm: str = "group"
+    head_features: int = 256
 
 
 class TopDownNet(nn.Module):
@@ -55,7 +60,9 @@ class TopDownNet(nn.Module):
         else:
             feats = ConvBackbone(dtype=self.dtype)(x.astype(self.dtype))[-2]
         # backbone stride 16 → two 2× deconvs → stride 4 (64×48 from 256×192)
-        hm = DeconvHead(c.num_joints, num_deconvs=2, dtype=self.dtype)(feats)
+        hm = DeconvHead(c.num_joints, num_deconvs=2, dtype=self.dtype,
+                        features=getattr(c, "head_features", 256),
+                        norm=getattr(c, "head_norm", "group"))(feats)
         return hm
 
 
@@ -104,8 +111,26 @@ TOPDOWN_CONFIGS = {
 _model_cache = {}
 
 
-def get_topdown_model(name: str) -> TopDownModel:
-    if name not in _model_cache:
+def get_topdown_model(name: str, params_path=None) -> TopDownModel:
+    """Registry lookup with optional trained/converted weights.
+
+    ``params_path`` (or ``$PPT_WEIGHTS_DIR/topdown__<name>.npz``) is a flat
+    npz written by scripts/train_synthetic.py or tools/convert_weights.py;
+    loaded leaves are shape-validated against the initialized tree
+    (models/params_io.py). Replaces the reference's per-wrapper checkpoint
+    paths (reference INSTALL.md:28-37, wrappers/mmpose.py:26-44).
+    """
+    from .params_io import load_params, merge_params, registry_weights_path
+
+    path = params_path or registry_weights_path("topdown", name)
+    cache_key = (name, path)
+    if cache_key not in _model_cache:
         cfg = TOPDOWN_CONFIGS[name]
-        _model_cache[name] = TopDownModel(cfg)
-    return _model_cache[name]
+        model = TopDownModel(cfg)
+        if path:
+            from .params_io import commit_to_default
+
+            model.params = commit_to_default(
+                merge_params(model.params, load_params(path)))
+        _model_cache[cache_key] = model
+    return _model_cache[cache_key]

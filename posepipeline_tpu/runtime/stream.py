@@ -291,7 +291,9 @@ class I420PoseEstimator:
         boxes, scores = decode_centers(center, size, offset,
                                        k=self.detector.cfg.max_detections,
                                        stride=self.detector.cfg.stride)
-        return boxes[:, 0], scores[:, 0]
+        # one output array → one device→host fetch (every fetch is a full
+        # round trip through the device link)
+        return jnp.concatenate([boxes[:, 0], scores[:, 0, None]], axis=-1)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _pose_yuv(self, td_params, crops_yuv, fixed_boxes):
@@ -305,12 +307,22 @@ class I420PoseEstimator:
 
 
 class NativeStreamingRunner:
-    """Stream videos through the I420-native pipeline with software
-    pipelining: chunk *k*'s detection runs on the device while chunk *k+1*
-    decodes on the host, and pose results are fetched lazily so device pose
-    work also hides behind decode. Two chunk buffers alternate; per chunk
-    there is exactly one detect dispatch, one box fetch, one C++ crop pass,
-    and one pose dispatch.
+    """Stream videos through the I420-native pipeline with a two-thread
+    producer/consumer schedule.
+
+    The single-host bottleneck is one CPU core shared by decode, byte
+    shuffles, and the *idle waits* on device round trips. Decode, C++ crops,
+    and blocking fetches all release the GIL, so a worker thread overlaps
+    them with the main decode loop:
+
+    - **main thread**: decode chunk → C++ keyframe downsample → dispatch the
+      detection program → hand the chunk to the worker.
+    - **worker thread**: fetch boxes (network wait — free for the decoder),
+      C++ crop pass, dispatch the pose program, fetch earlier pose results.
+
+    Per chunk there is exactly one detect dispatch, one box fetch, one crop
+    pass, and one pose dispatch; wall clock approaches
+    max(decode, fetch+crop) instead of their sum.
 
     This is the production runtime for the clinic workload
     (BASELINE.json configs[4]): videos are processed back-to-back through the
@@ -321,11 +333,13 @@ class NativeStreamingRunner:
 
     def __init__(self, estimator: Optional[I420PoseEstimator] = None,
                  lifter: Optional[LiftingModel] = None,
-                 chunk_frames: int = 96, max_inflight_pose: int = 4):
+                 chunk_frames: int = 96, max_inflight_pose: int = 4,
+                 num_buffers: int = 4):
         self.estimator = estimator
         self.lifter = lifter
         self.chunk_frames = int(chunk_frames)
         self.max_inflight_pose = int(max_inflight_pose)
+        self.num_buffers = max(int(num_buffers), 3)
 
     def run(self, video_paths: List[str], lift: bool = True) -> List[Dict]:
         from ..native import media
@@ -341,28 +355,18 @@ class NativeStreamingRunner:
         di = est.det_interval
         C = self.chunk_frames
         KF = (C + di - 1) // di
-        scale = np.array([est.det_stride] * 4, np.float64)
-        bufs = [np.zeros((C, H * 3 // 2, W), np.uint8) for _ in range(2)]
+        scale = np.array([est.det_stride] * 4 + [1.0], np.float64)
+        bufs = [np.zeros((C, H * 3 // 2, W), np.uint8)
+                for _ in range(self.num_buffers)]
+        free_bufs: queue.Queue = queue.Queue()
+        for i in range(self.num_buffers):
+            free_bufs.put(i)
         small_buf = np.zeros((KF, est.det_hw[0] * 3 // 2, est.det_hw[1]), np.uint8)
         results = [dict(boxes=[], scores=[], keypoints=[]) for _ in video_paths]
 
-        pending_det = None   # (vid, buf_idx, n_valid, detect_future)
-        pose_futs: list = []  # (vid, n_valid, pose_future, boxes, scores)
-
-        def finish_det(entry):
-            vid, bidx, n, fut = entry
-            with metrics.StageTimer("native.fetch_boxes", frames=n):
-                kf_boxes = np.asarray(fut[0]) * scale
-                kf_scores = np.asarray(fut[1])
-            idx = np.minimum(np.arange(C) // di, len(kf_boxes) - 1)
-            boxes, scores = kf_boxes[idx], kf_scores[idx]
-            fixed = np.round(_fix_aspect_np(boxes, dilate=1.2, ratio=tw / th))
-            fixed = fixed.astype(np.float32)
-            with metrics.StageTimer("native.crop", frames=n):
-                crops = media.crop_batch(bufs[bidx], W, H, fixed, (th, tw))
-            fut2 = est._pose_yuv(est.topdown.params, jnp.asarray(crops),
-                                 jnp.asarray(fixed))
-            pose_futs.append((vid, n, fut2, boxes, scores))
+        work_q: queue.Queue = queue.Queue()
+        worker_error: list = []
+        pose_futs: list = []  # worker-local: (vid, n_valid, fut, boxes, scores)
 
         def drain_pose(keep: int):
             while len(pose_futs) > keep:
@@ -373,40 +377,75 @@ class NativeStreamingRunner:
                 results[vid]["scores"].append(scores[:n])
                 results[vid]["keypoints"].append(kp[:n])
 
-        buf_idx = 0
-        import time as _time
+        def process(entry):
+            vid, bidx, n, fut = entry
+            with metrics.StageTimer("native.fetch_boxes", frames=n):
+                kf = np.asarray(fut) * scale  # (KF, 5): boxes*stride | score
+            idx = np.minimum(np.arange(C) // di, len(kf) - 1)
+            boxes, scores = kf[idx, :4], kf[idx, 4]
+            fixed = np.round(_fix_aspect_np(boxes, dilate=1.2, ratio=tw / th))
+            fixed = fixed.astype(np.float32)
+            with metrics.StageTimer("native.crop", frames=n):
+                crops = media.crop_batch(bufs[bidx], W, H, fixed, (th, tw))
+            free_bufs.put(bidx)
+            fut2 = est._pose_yuv(est.topdown.params, jnp.asarray(crops),
+                                 jnp.asarray(fixed))
+            pose_futs.append((vid, n, fut2, boxes, scores))
+            drain_pose(self.max_inflight_pose)
 
-        for vid, path in enumerate(video_paths):
-            reader = media.NativeVideoReader(path)
+        def worker():
             try:
                 while True:
-                    buf = bufs[buf_idx]
-                    t0 = _time.perf_counter()
-                    n = reader.read_batch(buf)
-                    if n == 0:
+                    entry = work_q.get()
+                    if entry is None:
                         break
-                    metrics.record("decode", n, _time.perf_counter() - t0)
-                    if n < C:
-                        buf[n:] = 0
-                    with metrics.StageTimer("native.downsample", frames=KF):
-                        media.downsample_batch(buf, W, H, est.det_stride,
-                                               (est.det_hw[1], est.det_hw[0]),
-                                               interval=di, out=small_buf)
-                    # .copy(): small_buf is reused next chunk, and device_put
-                    # may alias numpy memory zero-copy on the CPU backend
-                    fut = est._detect_yuv(est.detector.params,
-                                          jnp.asarray(small_buf.copy()))
-                    if pending_det is not None:
-                        finish_det(pending_det)
-                    pending_det = (vid, buf_idx, n, fut)
-                    drain_pose(self.max_inflight_pose)
-                    buf_idx ^= 1
-            finally:
-                reader.close()
-        if pending_det is not None:
-            finish_det(pending_det)
-            pending_det = None
-        drain_pose(0)
+                    process(entry)
+                drain_pose(0)
+            except Exception as e:  # noqa: BLE001 - surfaced in main thread
+                worker_error.append(e)
+                # unblock the producer waiting on buffers
+                for i in range(self.num_buffers):
+                    free_bufs.put(-1)
+
+        wt = threading.Thread(target=worker, daemon=True)
+        wt.start()
+
+        import time as _time
+
+        try:
+            for vid, path in enumerate(video_paths):
+                reader = media.NativeVideoReader(path)
+                try:
+                    while not worker_error:
+                        bidx = free_bufs.get()
+                        if bidx < 0:
+                            break
+                        buf = bufs[bidx]
+                        t0 = _time.perf_counter()
+                        n = reader.read_batch(buf)
+                        if n == 0:
+                            free_bufs.put(bidx)
+                            break
+                        metrics.record("decode", n, _time.perf_counter() - t0)
+                        if n < C:
+                            buf[n:] = 0
+                        with metrics.StageTimer("native.downsample", frames=KF):
+                            media.downsample_batch(buf, W, H, est.det_stride,
+                                                   (est.det_hw[1], est.det_hw[0]),
+                                                   interval=di, out=small_buf)
+                        # .copy(): small_buf is reused next chunk, and
+                        # device_put may alias numpy memory zero-copy on the
+                        # CPU backend
+                        fut = est._detect_yuv(est.detector.params,
+                                              jnp.asarray(small_buf.copy()))
+                        work_q.put((vid, bidx, n, fut))
+                finally:
+                    reader.close()
+        finally:
+            work_q.put(None)
+            wt.join()
+        if worker_error:
+            raise worker_error[0]
 
         out = []
         for vid, r in enumerate(results):

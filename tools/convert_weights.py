@@ -142,8 +142,87 @@ def convert_videopose3d(torch_state: Dict[str, np.ndarray]) -> Dict:
         out[f"Conv_{idx}"] = _conv1d_with_bn(
             torch_state, f"layers_conv.{i}", f"layers_bn.{i}")
         idx += 1
-    out[f"Conv_{idx}"] = _conv1d_with_bn(torch_state, "shrink", None)
+    # final 'shrink' is a width-1 Conv1d in torch; TemporalLifter ends in a
+    # Dense — identical math, kernel (C, out) = squeeze+transpose of (out, C, 1)
+    shrink_w = np.asarray(torch_state["shrink.weight"])[:, :, 0]
+    dense = {"kernel": shrink_w.T}
+    if "shrink.bias" in torch_state:
+        dense["bias"] = np.asarray(torch_state["shrink.bias"])
+    out["Dense_0"] = dense
     return out
+
+
+def t2f_conv_transpose2d(weight, bias=None):
+    """torch ConvTranspose2d (I, O, kh, kw) → flax ConvTranspose with
+    ``transpose_kernel=True`` (kernel layout (kh, kw, O, I) — the
+    DeconvHead ``norm="torch"`` checkpoint-parity form)."""
+    p = {"kernel": np.transpose(np.asarray(weight), (2, 3, 1, 0))}
+    if bias is not None:
+        p["bias"] = np.asarray(bias)
+    return p
+
+
+def _deconv_with_bn(torch_state, deconv: str, bn: str) -> Dict:
+    """ConvTranspose2d + BatchNorm2d → one biased flax ConvTranspose.
+
+    The transpose_kernel layout is (kh, kw, O, I): the BN scale applies to
+    output channels, axis 2."""
+    w = np.transpose(np.asarray(torch_state[f"{deconv}.weight"]), (2, 3, 1, 0))
+    eps = 1e-5
+    scale = (np.asarray(torch_state[f"{bn}.weight"]) /
+             np.sqrt(np.asarray(torch_state[f"{bn}.running_var"]) + eps))
+    kernel = w * scale[None, None, :, None]
+    b = np.asarray(torch_state.get(f"{deconv}.bias", 0.0))
+    bias = (b - np.asarray(torch_state[f"{bn}.running_mean"])) * scale \
+        + np.asarray(torch_state[f"{bn}.bias"])
+    return {"kernel": kernel, "bias": bias}
+
+
+def convert_vitpose(torch_state: Dict[str, np.ndarray], num_heads: int = 12) -> Dict:
+    """Map a full ViTPose state dict (mmpose layout: ``backbone.*`` timm ViT +
+    ``keypoint_head.*`` simple-baselines deconv head) onto TopDownNet with
+    ``head_norm="torch"`` (reference model family: wrappers/mmpose.py:26-44).
+
+    Handles the cls-token slot: if pos_embed has one more token than the
+    patch grid uses, the first token's embedding is dropped.
+    """
+    s = torch_state
+    g = lambda k: np.asarray(s[k])
+    vit: Dict = {
+        "PatchEmbed_0": {"Conv_0": t2f_conv2d(g("backbone.patch_embed.proj.weight"),
+                                              s.get("backbone.patch_embed.proj.bias"))},
+    }
+    blocks = sorted({k.split(".")[2] for k in s if k.startswith("backbone.blocks.")},
+                    key=int)
+    for i, b in enumerate(blocks):
+        vit[f"TransformerBlock_{i}"] = convert_vit_block(
+            {k[len("backbone."):]: v for k, v in s.items()
+             if k.startswith(f"backbone.blocks.{b}.")},
+            f"blocks.{b}", num_heads)
+    ln = "backbone.last_norm" if "backbone.last_norm.weight" in s else "backbone.norm"
+    vit["LayerNorm_0"] = t2f_layernorm(g(f"{ln}.weight"), g(f"{ln}.bias"))
+    pos = g("backbone.pos_embed")
+    vit["pos_embed"] = pos  # cls-token slot trimmed at load vs model shape
+    head: Dict = {}
+    deconv_ids = sorted({int(k.split(".")[2]) for k in s
+                         if k.startswith("keypoint_head.deconv_layers.")
+                         and k.endswith(".weight")
+                         and "running" not in k
+                         and s[k].ndim == 4})
+    for j, d in enumerate(deconv_ids):
+        head[f"ConvTranspose_{j}"] = _deconv_with_bn(
+            s, f"keypoint_head.deconv_layers.{d}",
+            f"keypoint_head.deconv_layers.{d + 1}")
+    head["Conv_0"] = t2f_conv2d(g("keypoint_head.final_layer.weight"),
+                                s.get("keypoint_head.final_layer.bias"))
+    return {"params": {"ViT_0": vit, "DeconvHead_0": head}}
+
+
+def trim_pos_embed(pos: np.ndarray, num_patches: int) -> np.ndarray:
+    """Drop the cls-token slot when present (ViTPose keeps it in pos_embed)."""
+    if pos.shape[1] == num_patches + 1:
+        return pos[:, 1:]
+    return pos[:, :num_patches]
 
 
 def main():
@@ -162,6 +241,8 @@ def main():
 
     if args.arch == "videopose3d":
         params = convert_videopose3d(state)
+    elif any(k.startswith("backbone.") for k in state):
+        params = convert_vitpose(state)
     else:
         num_heads = 12
         # numeric sort: lexical order would scramble block 10/11 vs 2 for
