@@ -106,6 +106,31 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline, 4),
     }))
+
+    # clinic-scale mode (BASELINE.json configs[4]: many concurrent 1080p
+    # streams): BENCH_SCALE=N streams N clips back-to-back through the same
+    # runner and reports aggregate fps + prefetch-queue occupancy. The result
+    # also lands in SCALE.json so the driver's one-line contract holds.
+    n_scale = int(os.environ.get("BENCH_SCALE", "0"))
+    if n_scale and hasattr(runner, "last_queue_stats"):
+        scale_paths = (paths * ((n_scale + len(paths) - 1) // len(paths)))[:n_scale]
+        t0 = time.perf_counter()
+        results = runner.run(scale_paths, lift=True)
+        elapsed = time.perf_counter() - t0
+        frames = sum(len(r["keypoints2d"]) for r in results)
+        entry = {
+            "metric": "clinic_scale_aggregate_fps_1080p",
+            "value": round(frames / elapsed, 2),
+            "unit": f"frames/sec aggregate ({n_scale} streams)",
+            "vs_baseline": round(frames / elapsed / baseline, 4),
+            "streams": n_scale,
+            "frames": frames,
+            "queue": runner.last_queue_stats,
+        }
+        print(json.dumps(entry), file=sys.stderr)
+        with open("SCALE.json", "w") as f:
+            json.dump(entry, f, indent=2)
+
     for p in paths:
         os.remove(p)
 

@@ -135,17 +135,44 @@ def toy_body_model(num_vertices: int = 512, n_betas: int = 10, seed: int = 0) ->
     J[20] = [-0.7, 1.38, 0]; J[21] = [0.7, 1.38, 0]
     J[22] = [-0.78, 1.38, 0]; J[23] = [0.78, 1.38, 0]
 
-    # vertices sampled along bones with radial offsets
+    # cylindrical bone meshes: rings of vertices along each bone connected
+    # into triangles, so the toy body is a *renderable* mesh (faces) with the
+    # exact SMPL tensor layout — SMPLPersonVideo rasterizes it like the
+    # reference rasterizes real SMPL meshes (utils/visualization.py:93-115)
     bones = [(j, SMPL_PARENTS[j]) for j in range(1, 24)]
-    verts = []
+    rings = max(2, num_vertices // (len(bones) * 7))
+    ring_pts = 7
+    verts, faces = [], []
     for j, p in bones:
-        t = rng.uniform(0, 1, (num_vertices // len(bones), 1))
-        base = J[p] * (1 - t) + J[j] * t
-        verts.append(base + rng.normal(0, 0.03, base.shape))
-    v_template = np.concatenate(verts).astype(np.float32)[:num_vertices]
-    while len(v_template) < num_vertices:
-        v_template = np.concatenate([v_template, v_template[: num_vertices - len(v_template)]])
-    V = num_vertices
+        a, b = J[p], J[j]
+        axis = b - a
+        norm = np.linalg.norm(axis)
+        axis = axis / max(norm, 1e-6)
+        # perpendicular basis
+        ref = np.array([1.0, 0, 0]) if abs(axis[0]) < 0.9 else np.array([0, 1.0, 0])
+        u = np.cross(axis, ref)
+        u /= max(np.linalg.norm(u), 1e-6)
+        w = np.cross(axis, u)
+        radius = 0.09 if j in (3, 6, 9, 15) else 0.04   # torso/head thicker
+        base = sum(len(v) for v in verts)
+        ring_t = np.linspace(0.05, 0.95, rings)
+        for t in ring_t:
+            center = a * (1 - t) + b * t
+            ang = np.linspace(0, 2 * np.pi, ring_pts, endpoint=False)
+            ring = center + radius * (np.cos(ang)[:, None] * u + np.sin(ang)[:, None] * w)
+            verts.append(ring.astype(np.float32))
+        for r in range(rings - 1):
+            for i in range(ring_pts):
+                i2 = (i + 1) % ring_pts
+                v00 = base + r * ring_pts + i
+                v01 = base + r * ring_pts + i2
+                v10 = base + (r + 1) * ring_pts + i
+                v11 = base + (r + 1) * ring_pts + i2
+                faces.append((v00, v01, v11))
+                faces.append((v00, v11, v10))
+    v_template = np.concatenate(verts).astype(np.float32)
+    faces = np.asarray(faces, np.int32)
+    V = len(v_template)
 
     # skinning: softmax over negative distance to joints
     d = np.linalg.norm(v_template[:, None] - J[None], axis=-1)
@@ -162,7 +189,8 @@ def toy_body_model(num_vertices: int = 512, n_betas: int = 10, seed: int = 0) ->
 
     shapedirs = rng.normal(0, 0.005, (V, 3, n_betas)).astype(np.float32)
     posedirs = rng.normal(0, 0.0005, (V, 3, 207)).astype(np.float32)
-    return BodyModelParams(v_template, shapedirs, posedirs, J_regressor, lbs_weights)
+    return BodyModelParams(v_template, shapedirs, posedirs, J_regressor,
+                           lbs_weights, faces=faces)
 
 
 class BodyModel:

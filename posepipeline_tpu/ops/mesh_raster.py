@@ -1,0 +1,163 @@
+"""Device triangle rasterization for SMPL mesh overlays.
+
+The reference renders posed SMPL meshes with pyrender/OSMesa (a C/GL
+dependency, reference utils/visualization.py:93-115, env.py:69-71). Here the
+rasterizer is a pure XLA program shaped for TPU:
+
+- pixel-major barycentric coverage: a (P pixels × C faces) block per scan
+  step, all dense matmul/elementwise work (no data-dependent scatter),
+- z-buffering via a running minimum across face chunks (`lax.scan`),
+- flat shading from per-face normals, composited with alpha on the host.
+
+Windows are clamped to a maximum raster size; the overlay pipeline
+rasterizes the person's bounding window, not the full 1080p frame, so the
+pixel count stays small regardless of video resolution.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "chunk"))
+def rasterize_mesh(verts_xy, verts_z, faces, out_hw=(192, 192), chunk=128):
+    """Z-buffered flat-shaded rasterization of one mesh.
+
+    Args:
+        verts_xy: (V, 2) vertex positions in *window pixel* coordinates.
+        verts_z:  (V,) camera depth (smaller = nearer).
+        faces:    (F, 3) int vertex indices.
+        out_hw:   raster window size (H, W).
+        chunk:    faces per scan step (bounds the (P, C) working set).
+
+    Returns:
+        mask  (H, W) float32 in {0, 1} — mesh coverage,
+        shade (H, W) float32 in [0, 1] — flat shading of the nearest face.
+    """
+    H, W = out_hw
+    P = H * W
+    F = faces.shape[0]
+    pad = (-F) % chunk
+    faces = jnp.concatenate(
+        [faces, jnp.zeros((pad, 3), faces.dtype)], axis=0) if pad else faces
+    valid_face = jnp.concatenate(
+        [jnp.ones(F, bool), jnp.zeros(pad, bool)]) if pad else jnp.ones(F, bool)
+
+    ys = jnp.arange(H, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(W, dtype=jnp.float32) + 0.5
+    px = jnp.stack(jnp.meshgrid(xs, ys), -1).reshape(P, 2)   # (P, 2)
+
+    tri_xy = verts_xy[faces]          # (Fp, 3, 2)
+    tri_z = verts_z[faces]            # (Fp, 3)
+
+    # flat shading: normal of the 3D triangle (z from depth, xy from window
+    # coords) — facing ratio toward the camera
+    e1 = jnp.concatenate([tri_xy[:, 1] - tri_xy[:, 0],
+                          (tri_z[:, 1] - tri_z[:, 0])[:, None]], -1)
+    e2 = jnp.concatenate([tri_xy[:, 2] - tri_xy[:, 0],
+                          (tri_z[:, 2] - tri_z[:, 0])[:, None]], -1)
+    n = jnp.cross(e1, e2)
+    facing = jnp.abs(n[:, 2]) / jnp.maximum(jnp.linalg.norm(n, axis=-1), 1e-6)
+    tri_shade = 0.35 + 0.65 * facing  # ambient + diffuse head-on light
+
+    n_chunks = tri_xy.shape[0] // chunk
+    tri_xy_c = tri_xy.reshape(n_chunks, chunk, 3, 2)
+    tri_z_c = tri_z.reshape(n_chunks, chunk, 3)
+    shade_c = tri_shade.reshape(n_chunks, chunk)
+    valid_c = valid_face.reshape(n_chunks, chunk)
+
+    big = jnp.float32(1e30)
+
+    def step(carry, tri):
+        best_z, best_s = carry
+        txy, tz, tshade, tvalid = tri
+        a, b, c = txy[:, 0], txy[:, 1], txy[:, 2]      # (C, 2)
+        # edge functions for all pixels vs all faces in the chunk: (P, C).
+        # edge(p0, p1) = cross(p1-p0, p-p0): positive on the left of p0→p1,
+        # so edge(b, c) is the (unnormalized) barycentric weight of vertex a
+        def edge(p0, p1):
+            d = p1 - p0                                # (C, 2)
+            return (d[None, :, 0] * (px[:, None, 1] - p0[None, :, 1])
+                    - d[None, :, 1] * (px[:, None, 0] - p0[None, :, 0]))
+        w0, w1, w2 = edge(b, c), edge(c, a), edge(a, b)
+        area = (b - a)[:, 0] * (c - a)[:, 1] - (b - a)[:, 1] * (c - a)[:, 0]
+        inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
+        inside &= (jnp.abs(area)[None, :] > 1e-8) & tvalid[None, :]
+        denom = jnp.where(jnp.abs(area) > 1e-8, area, 1.0)[None, :]
+        b0, b1, b2 = w0 / denom, w1 / denom, w2 / denom
+        zpix = b0 * tz[None, :, 0] + b1 * tz[None, :, 1] + b2 * tz[None, :, 2]
+        zpix = jnp.where(inside, zpix, big)            # (P, C)
+        zmin = zpix.min(axis=1)
+        amin = zpix.argmin(axis=1)
+        smin = tshade[amin]
+        closer = zmin < best_z
+        return (jnp.where(closer, zmin, best_z),
+                jnp.where(closer, smin, best_s)), None
+
+    (zbuf, shade), _ = jax.lax.scan(
+        step, (jnp.full(P, big), jnp.zeros(P)),
+        (tri_xy_c, tri_z_c, shade_c, valid_c))
+    mask = (zbuf < big).astype(jnp.float32)
+    return mask.reshape(H, W), (shade * (zbuf < big)).reshape(H, W).astype(jnp.float32)
+
+
+def overlay_mesh_frame(frame, verts3d, cam, faces, **kw):
+    """Composite one posed mesh onto one RGB frame.
+
+    verts3d: (V, 3) normalized model coords; cam = (sx, sy, tx, ty) — the
+    stored SMPLPerson ``cams`` convention (pipeline/smpl.py: image x =
+    (x3 + tx) * sx * W/2 + W/2).
+    """
+    H, W = frame.shape[:2]
+    v = np.asarray(verts3d, np.float32)
+    sx, sy, tx, ty = [float(x) for x in cam]
+    x = (v[:, 0] + tx) * sx * (W / 2) + W / 2
+    y = (v[:, 1] + ty) * sy * (H / 2) + H / 2
+    return overlay_mesh_xy(frame, x, y, v[:, 2], faces, **kw)
+
+
+def overlay_mesh_xy(frame, x, y, z, faces, color=(120, 180, 255),
+                    alpha: float = 0.65, max_raster: int = 256):
+    """Composite a mesh given image-space vertex positions (host wrapper)."""
+    H, W = frame.shape[:2]
+
+    # person window (clamped to frame, padded)
+    x0 = max(int(np.floor(x.min())) - 4, 0)
+    y0 = max(int(np.floor(y.min())) - 4, 0)
+    x1 = min(int(np.ceil(x.max())) + 4, W)
+    y1 = min(int(np.ceil(y.max())) + 4, H)
+    if x1 - x0 < 2 or y1 - y0 < 2:
+        return frame
+    # raster at a capped window resolution, upsample to the window
+    scale = min(1.0, max_raster / max(x1 - x0, y1 - y0))
+    rw = max(int(round((x1 - x0) * scale)), 2)
+    rh = max(int(round((y1 - y0) * scale)), 2)
+    wx = (x - x0) * (rw / (x1 - x0))
+    wy = (y - y0) * (rh / (y1 - y0))
+    mask, shade = rasterize_mesh(
+        jnp.asarray(np.stack([wx, wy], -1)), jnp.asarray(z),
+        jnp.asarray(np.asarray(faces, np.int32)), out_hw=(rh, rw))
+    mask = np.asarray(mask)
+    shade = np.asarray(shade)
+    if scale < 1.0 or (rh, rw) != (y1 - y0, x1 - x0):
+        import cv2
+        mask = cv2.resize(mask, (x1 - x0, y1 - y0), interpolation=cv2.INTER_LINEAR)
+        shade = cv2.resize(shade, (x1 - x0, y1 - y0), interpolation=cv2.INTER_LINEAR)
+    region = frame[y0:y1, x0:x1].astype(np.float32)
+    col = shade[..., None] * np.asarray(color, np.float32)
+    a = (alpha * mask)[..., None]
+    out = frame.copy()
+    out[y0:y1, x0:x1] = np.clip(region * (1 - a) + col * a, 0, 255).astype(np.uint8)
+    return out
+
+
+def render_smpl_overlay(frames, verts_seq, cams, faces, **kw):
+    """Overlay a vertex sequence onto frames: (T, H, W, 3) uint8 → same."""
+    out = []
+    for t, frame in enumerate(frames):
+        out.append(overlay_mesh_frame(frame, verts_seq[t], cams[t], faces, **kw))
+    return np.stack(out)

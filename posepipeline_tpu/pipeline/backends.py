@@ -156,6 +156,76 @@ def top_down_keypoints(video_path: str, bboxes: np.ndarray, present: np.ndarray,
     return out
 
 
+def _hand_boxes_from_body25(body25: np.ndarray, conf_thresh: float = 0.2):
+    """BODY_25 keypoints (…, 25, 3) → right/left hand square TLHW boxes
+    (…, 2, 4), the OpenPose wrist/forearm heuristic: centered past the wrist
+    along the forearm direction, sized by forearm length (reference OpenPose
+    C++ hand detector behavior consumed via wrappers/openpose.py:37-126)."""
+    kp = np.asarray(body25, np.float32)
+    # BODY_25: RElbow=3 RWrist=4, LElbow=6 LWrist=7
+    boxes = np.zeros(kp.shape[:-2] + (2, 4), np.float32)
+    for slot, (e, w) in enumerate(((3, 4), (6, 7))):  # 0=right, 1=left
+        elbow, wrist = kp[..., e, :], kp[..., w, :]
+        ok = (elbow[..., 2] > conf_thresh) & (wrist[..., 2] > conf_thresh)
+        fore = wrist[..., :2] - elbow[..., :2]
+        length = np.linalg.norm(fore, axis=-1)
+        center = wrist[..., :2] + 0.33 * fore
+        size = np.maximum(1.5 * length, 24.0)
+        tl = center - size[..., None] / 2.0
+        box = np.concatenate([tl, np.repeat(size[..., None], 2, -1)], axis=-1)
+        boxes[..., slot, :] = np.where(ok[..., None], box, 0.0)
+    return boxes
+
+
+def openpose_composite(video_path: str, batch_size: int = 8,
+                       max_people: int = 4):
+    """OpenPose-equivalent composite: BODY_25 body keypoints AND real
+    21-joint hand keypoints per person, one decode pass.
+
+    The reference's OpenPose C++ lib internally detects hand regions from
+    the body wrists and runs hand nets (wrappers/openpose.py:37-126, hand
+    output consumed by pipeline.py:869-934). Here: detector proposals →
+    top-down BODY_25 → wrist-derived hand boxes → 21-joint hand net, all
+    batched on device per frame chunk.
+
+    Returns (keypoints, hands): lists over frames of (P, 25, 3) and
+    (P, 2, 21, 3) arrays.
+    """
+    from ..models.topdown import get_topdown_model
+    from ..utils.skeletons import coco17_to_body25
+    from .hands import _get_hand_model
+
+    body_model = get_topdown_model("MMPose")
+    hand_model = _get_hand_model("OpenPoseHands")
+    detector = None
+    keypoints: List[np.ndarray] = []
+    hands: List[np.ndarray] = []
+    for frames, valid in frame_batches(video_path, batch_size):
+        if detector is None:
+            detector = _get_detector((frames.shape[1], frames.shape[2]))
+        boxes_b, scores_b = detector(frames)
+        boxes_b = np.asarray(boxes_b)[:, :max_people]
+        scores_b = np.asarray(scores_b)[:, :max_people]
+        B, P, _ = boxes_b.shape
+        kp25 = np.zeros((B, P, 25, 3), np.float32)
+        for p in range(P):
+            kp25[:, p] = coco17_to_body25(np.asarray(body_model(frames, boxes_b[:, p])))
+        hand_boxes = _hand_boxes_from_body25(kp25)  # (B, P, 2, 4)
+        hand_kp = np.zeros((B, P, 2, 21, 3), np.float32)
+        for p in range(P):
+            for h in range(2):
+                hand_kp[:, p, h] = np.asarray(hand_model(frames, hand_boxes[:, p, h]))
+        # zero-confidence where no hand box could be derived
+        hand_kp[hand_boxes[..., 2] <= 0] = 0.0
+        for i in range(B):
+            if not valid[i]:
+                break
+            keep = scores_b[i] > 0.3
+            keypoints.append(kp25[i][keep])
+            hands.append(hand_kp[i][keep])
+    return keypoints, hands
+
+
 def bottom_up_keypoints(video_path: str, method_name: str, num_joints: int = 25,
                         batch_size: int = 8, max_people: int = 4) -> List[np.ndarray]:
     """Multi-person 2D keypoints per frame (BottomUpPeople contract:

@@ -31,11 +31,9 @@ from .overlays import pad_people, render_video
 from .video import Video, VideoInfo
 
 
-def noise_to_conf(noise, scale: float = 50.0):
-    """Keypoint-noise (augmentation stdev) → sigmoid confidence
-    (reference wrappers/bridging.py:100-102 semantics)."""
-    noise = np.asarray(noise, np.float32)
-    return 1.0 / (1.0 + np.exp((noise - scale / 2) / (scale / 8)))
+# canonical superset noise→confidence (reference bridging.py:100-102
+# defaults: half_val=200 mm, sharpness=50)
+from ..utils.bridging_superset import noise_to_conf  # noqa: E402,F401
 
 
 @schema
@@ -81,7 +79,15 @@ class BottomUpPeople(Computed):
             gt = (GroundTruthKeypoints & key).fetch1("keypoints")  # (T, P, 17, 3)
             key["keypoints"] = [coco17_to_body25(gt[t]) for t in range(len(gt))]
         elif method == "Bridging_OpenPose":
+            # superset → coco_25 → reorder to BODY_25 by display name, with
+            # TTA-noise confidences (reference pipeline.py:214-241)
+            from ..utils.bridging_superset import (filter_skeleton,
+                                                   normalized_joint_name_dictionary)
+            from ..utils.skeletons import BODY_25
+
             assert BottomUpBridging & key, f"Bridging not computed: {key}"
+            reorder = [normalized_joint_name_dictionary["coco_25"].index(j)
+                       for j in BODY_25]
             kp2d, noise = (BottomUpBridging & key).fetch1("keypoints2d", "keypoint_noise")
             final = []
             for kp, nz in zip(kp2d, noise):
@@ -90,7 +96,7 @@ class BottomUpPeople(Computed):
                     continue
                 conf = noise_to_conf(nz)
                 kp = np.concatenate([np.asarray(kp)[..., :2], conf[..., None]], axis=-1)
-                final.append(wholebody133_subset(kp, "coco_25"))
+                final.append(filter_skeleton(kp, "coco_25")[:, reorder])
             key["keypoints"] = final
         else:
             # OpenPose/MMPose slots: batched detector+top-down composite
@@ -139,59 +145,52 @@ class BottomUpBridging(Computed):
     """
 
     def make(self, key):
-        """Absolute-3D bottom-up slot (reference MeTRAbs bridging,
-        wrappers/bridging.py:105-141).
+        """Absolute-3D bottom-up over the 580-joint superset (reference
+        MeTRAbs bridging, wrappers/bridging.py:105-141).
 
-        TPU backend: wholebody-133 2D per detected person + temporal lift of
-        the COCO body subset to camera-space 3D; noise derives from heatmap
-        confidence (inverse of noise_to_conf).
+        TPU backend (models/bridging.py): per frame batch, every detected
+        person's ``num_aug`` crop augmentations run as one MXU batch through
+        a metrabs-style heatmap+depth head; stored values are the aug-mean
+        2D (P, 580, 2) and absolute camera-space 3D (P, 580, 3) in mm, with
+        per-joint ``keypoint_noise`` (P, 580) = stdev of the scale-aligned
+        3D predictions across augmentations (bridging.py:96-97).
         """
         from . import backends
-        from ..models.lifting import LiftingModel
+        from ..media.video import frame_batches
+        from ..models.bridging import get_bridging_model
+        from ..utils.bridging_superset import augmentation_noise
 
         key = dict(key)
+        model = get_bridging_model()
+        max_people = 4
         video = Video.get_robust_reader(key, return_cap=False)
-        info = (VideoInfo & key).fetch1() if VideoInfo & key else None
+        boxes_all, kp2d_all, kp3d_all, noise_all = [], [], [], []
+        detector = None
         try:
-            from ..media.video import video_info as _vi
-            meta = _vi(video) if info is None else info
-            from ..models.topdown import get_topdown_model
-            model = get_topdown_model("MMPoseWholebody")
-            from ..media.video import frame_batches
-
-            boxes_all, kp2d_all, noise_all = [], [], []
-            detector = None
-            for frames, valid in frame_batches(video, 8):
+            for frames, valid in frame_batches(video, 4):
                 if detector is None:
                     detector = backends._get_detector((frames.shape[1], frames.shape[2]))
                 dboxes, dscores = detector(frames)
-                dboxes, dscores = np.asarray(dboxes)[:, :4], np.asarray(dscores)[:, :4]
-                kp = np.zeros((len(frames), 4, 133, 3), np.float32)
-                for p in range(4):
-                    kp[:, p] = np.asarray(model(frames, dboxes[:, p]))
+                dboxes = np.asarray(dboxes)[:, :max_people]
+                dscores = np.asarray(dscores)[:, :max_people]
+                p2d, p3d = model(frames, dboxes)
+                p2d, p3d = np.asarray(p2d), np.asarray(p3d)  # (B,K,A,J,{2,3})
+                noise = augmentation_noise(p3d)              # (B,K,J)
                 for i in range(len(frames)):
                     if not valid[i]:
                         break
                     keep = dscores[i] > 0.3
-                    boxes_all.append(dboxes[i][keep])
-                    kp2d_all.append(kp[i][keep])
-                    conf = np.clip(kp[i][keep][..., 2], 1e-3, 1.0)
-                    noise_all.append(25.0 * (1.0 - conf) / np.maximum(conf, 0.25))
+                    # boxes stored (P, 5) = TLHW + score (reference stores the
+                    # detector's 5-column boxes; matching uses [:, :4])
+                    boxes_all.append(np.concatenate(
+                        [dboxes[i][keep], dscores[i][keep][:, None]], axis=1))
+                    kp2d_all.append(p2d[i][keep].mean(axis=1))
+                    kp3d_all.append(p3d[i][keep].mean(axis=1))
+                    noise_all.append(noise[i][keep])
         finally:
             if os.path.exists(video):
                 os.remove(video)
 
-        # 3D: lift the COCO-17 subset of the most confident person per frame
-        lifter = LiftingModel("GastNet")
-        T = len(kp2d_all)
-        kp3d_all = []
-        for t in range(T):
-            if len(kp2d_all[t]) == 0:
-                kp3d_all.append(np.zeros((0, 17, 3), np.float32))
-            else:
-                kp3d_all.append(np.zeros((len(kp2d_all[t]), 17, 3), np.float32))
-        # (a full temporal lift per tracked person happens in LiftingPerson;
-        # here 3D is a per-frame placeholder refined downstream)
         key["boxes"] = boxes_all
         key["keypoints2d"] = kp2d_all
         key["keypoints3d"] = kp3d_all
@@ -217,23 +216,28 @@ class BottomUpBridgingVideo(Computed):
     """
 
     def make(self, key):
+        """Skeleton-filtered overlay for every BottomUpBridgingVideoLookup
+        row (reference pipeline.py:323-356: filter_skeleton + per-skeleton
+        joint edges from the superset registry)."""
+        from ..utils.bridging_superset import (PER_SKELETON_INDICES,
+                                               filter_skeleton,
+                                               get_skeleton_edges)
+
         key = dict(key)
         video = (BlurredVideo & key).fetch1("output_video")
         kp2d, noise = (BottomUpBridging & key).fetch1("keypoints2d", "keypoint_noise")
         skeleton = key["skeleton"]
+        J = len(PER_SKELETON_INDICES[skeleton])
         frames_kp = []
         for kp, nz in zip(kp2d, noise):
             if len(kp) == 0:
-                frames_kp.append(np.zeros((0, 25, 3), np.float32))
+                frames_kp.append(np.zeros((0, J, 3), np.float32))
                 continue
             conf = noise_to_conf(nz)
             kp = np.concatenate([np.asarray(kp)[..., :2], conf[..., None]], axis=-1)
-            if skeleton in ("coco_25", "coco_19"):
-                kp = wholebody133_subset(kp, skeleton)
-            else:
-                kp = wholebody133_subset(kp, "coco_25")
-            frames_kp.append(kp)
-        out = _render_multi_person(video, frames_kp)
+            frames_kp.append(filter_skeleton(kp, skeleton))
+        out = _render_multi_person(video, frames_kp,
+                                   limbs=get_skeleton_edges(skeleton))
         key["output_video"] = out
         self.insert1(key)
         os.remove(video)
@@ -260,17 +264,18 @@ class OpenPose(Computed):
         key = dict(key)
         video = Video.get_robust_reader(key, return_cap=False)
         try:
-            kp17 = backends.bottom_up_keypoints(video, "OpenPose")
+            keypoints, hands = backends.openpose_composite(video)
         finally:
             if os.path.exists(video):
                 os.remove(video)
-        keypoints = [coco17_to_body25(k) for k in kp17]
         key["keypoints"] = keypoints
         key["pose_ids"] = [np.arange(len(k)) for k in keypoints]
         key["pose_scores"] = [np.asarray(k)[..., 2].mean(axis=-1) if len(k) else np.zeros(0)
                               for k in keypoints]
-        # hand/face nets attach in the hand tables; placeholders keep format
-        key["hand_keypoints"] = [np.zeros((len(k), 2, 21, 3), np.float32) for k in keypoints]
+        # real 21-joint hand keypoints from the wrist-conditioned hand net
+        # (reference wrappers/openpose.py:37-126 hand output)
+        key["hand_keypoints"] = hands
+        # 70-point face slot kept zero-confidence (no face landmark net yet)
         key["face_keypoints"] = [np.zeros((len(k), 70, 3), np.float32) for k in keypoints]
         self.insert1(key)
 
@@ -344,8 +349,12 @@ class BlurredVideo(Computed):
         os.remove(out)
 
 
-def _render_multi_person(video_path: str, keypoints_list, limb_set: str = None) -> str:
-    """Shared overlay: per-person colored skeleton + keypoints, device-batched."""
+def _render_multi_person(video_path: str, keypoints_list, limb_set: str = None,
+                         limbs=None) -> str:
+    """Shared overlay: per-person colored skeleton + keypoints, device-batched.
+
+    ``limbs`` (explicit (i, j) edge pairs) overrides the named ``limb_set``
+    lookup — used by BottomUpBridgingVideo's per-skeleton edge registries."""
     from ..ops.render import draw_keypoints, draw_skeleton, track_colors
     from ..utils.skeletons import LIMBS
 
@@ -355,9 +364,10 @@ def _render_multi_person(video_path: str, keypoints_list, limb_set: str = None) 
         if arr.ndim == 3:
             J = arr.shape[1]
             break
-    limbs = LIMBS.get(limb_set or ("coco_17" if J == 17 else "body_25"),
-                      LIMBS["coco_17" if J == 17 else "body_25"])
-    limbs = tuple(l for l in limbs if max(l) < J)
+    if limbs is None:
+        limbs = LIMBS.get(limb_set or ("coco_17" if J == 17 else "body_25"),
+                          LIMBS["coco_17" if J == 17 else "body_25"])
+    limbs = tuple((int(a), int(b)) for a, b in limbs if max(a, b) < J)
     kp, valid = pad_people(keypoints_list, num_joints=J)
     P = kp.shape[1]
     colors = track_colors(max(P, 1))

@@ -202,10 +202,15 @@ _hand_models = {}
 
 
 def _get_hand_model(method: str):
+    from ..core.config import config
     from ..models.topdown import TopDownConfig, TopDownModel
 
     if method not in _hand_models:
-        cfg = TopDownConfig(f"hand_{method}", num_joints=21, input_hw=(256, 256),
-                            heatmap_hw=(64, 64), dim=256, depth=6, num_heads=4)
-        _hand_models[method] = TopDownModel(cfg)
+        kw = dict(num_joints=21, input_hw=(256, 256), heatmap_hw=(64, 64),
+                  dim=256, depth=6, num_heads=4)
+        # tier-3 model-param registry override (tests scale the net down)
+        kw.update(config.get("custom", {}).get("hand_model", {}))
+        for k in ("input_hw", "heatmap_hw"):
+            kw[k] = tuple(kw[k])
+        _hand_models[method] = TopDownModel(TopDownConfig(f"hand_{method}", **kw))
     return _hand_models[method]

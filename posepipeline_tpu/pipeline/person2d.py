@@ -40,7 +40,7 @@ def _match_person_sequence(bboxes, present, keypoints_list, num_joints, thresh=0
     kp, _ = pad_people(keypoints_list, num_joints)
     boxes = np.nan_to_num(np.asarray(bboxes, np.float32))
     matched, idx, found = match_keypoints_to_bbox_sequence(boxes, kp, thresh)
-    matched = np.asarray(matched)
+    matched = np.array(matched)  # copy: device arrays view as read-only
     found = np.asarray(found) & np.asarray(present, bool)
     matched[~found] = 0.0
     out_idx = np.where(found, np.asarray(idx), -1)
@@ -85,8 +85,10 @@ class BottomUpBridgingPerson(Computed):
 
     def make(self, key):
         """IoU-match the bridging boxes to the annotated person per frame
-        (reference pipeline.py:813-866, thresh 0.25)."""
+        (reference pipeline.py:813-866, thresh 0.25): keypoints (T, 580, 3)
+        = 2D+conf, keypoints3d (T, 580, 4) = absolute 3D mm + conf."""
         from ..tracking.tracker import iou_matrix_np
+        from ..utils.bridging_superset import SUPERSET_SIZE
 
         key = dict(key)
         bbox, present = (PersonBbox & key).fetch1("bbox", "present")
@@ -94,29 +96,31 @@ class BottomUpBridgingPerson(Computed):
             "boxes", "keypoints2d", "keypoints3d", "keypoint_noise")
 
         T = len(boxes)
-        J = 133
+        J = SUPERSET_SIZE
         for k in kp2d:
             if len(k):
                 J = np.asarray(k).shape[1]
                 break
-        out_box = np.zeros((T, 4), np.float32)
+        out_box = np.zeros((T, 5), np.float32)
         out_kp = np.zeros((T, J, 3), np.float32)
-        out_kp3d = np.zeros((T,) + (np.asarray(kp3d[0]).shape[1:] if len(kp3d) and len(kp3d[0])
-                                    else (17, 3)), np.float32)
+        out_kp3d = np.zeros((T, J, 4), np.float32)
         out_noise = np.zeros((T, J), np.float32)
         target = np.nan_to_num(np.asarray(bbox, np.float32))
         for t in range(T):
             if not present[t] or len(boxes[t]) == 0:
                 continue
-            ious = iou_matrix_np(target[t][None], np.asarray(boxes[t]))[0]
+            frame_boxes = np.asarray(boxes[t], np.float32)[:, :4]
+            ious = iou_matrix_np(target[t][None], frame_boxes)[0]
             best = int(np.argmax(ious))
             if ious[best] > 0.25:
-                out_box[t] = boxes[t][best]
+                conf = noise_to_conf(noise[t][best])
+                out_box[t, :np.asarray(boxes[t]).shape[1]] = boxes[t][best]
                 out_kp[t] = np.concatenate(
-                    [np.asarray(kp2d[t][best])[..., :2],
-                     noise_to_conf(noise[t][best])[..., None]], axis=-1)
+                    [np.asarray(kp2d[t][best])[..., :2], conf[..., None]], axis=-1)
                 if len(kp3d[t]):
-                    out_kp3d[t] = kp3d[t][best]
+                    out_kp3d[t] = np.concatenate(
+                        [np.asarray(kp3d[t][best])[..., :3], conf[..., None]],
+                        axis=-1)
                 out_noise[t] = noise[t][best]
         key["bbox"] = out_box
         key["keypoints"] = out_kp
@@ -248,14 +252,19 @@ class TopDownPerson(Computed):
         elif method.startswith("OpenPose"):
             kp = np.asarray((OpenPosePerson & key).fetch1("keypoints"))
         elif method.startswith("Bridging_"):
-            kp133 = np.asarray((BottomUpBridgingPerson & key).fetch1("keypoints"))
+            # superset → named skeleton subset (reference pipeline.py:1050-1093
+            # filter_skeleton paths); unknown skeletons raise — no silent
+            # coco fallback
+            from ..utils.bridging_superset import (PER_SKELETON_INDICES,
+                                                   filter_skeleton)
+
+            kp580 = np.asarray((BottomUpBridgingPerson & key).fetch1("keypoints"))
             skeleton = method.split("Bridging_")[1]
-            if skeleton in ("COCO_25", "coco_25"):
-                kp = wholebody133_subset(kp133, "coco_25")
-            elif skeleton == "smplx_42":
-                kp = wholebody133_subset(kp133, "hands_42")
-            else:
-                kp = wholebody133_subset(kp133, "coco_25")
+            if skeleton == "COCO_25":
+                skeleton = "coco_25"
+            if skeleton not in PER_SKELETON_INDICES:
+                raise ValueError(f"Unknown bridging skeleton {skeleton!r}")
+            kp = filter_skeleton(kp580, skeleton)
             width, height = (VideoInfo & key).fetch1("width", "height")
             kp = np.asarray(keypoints_filter_clipped(kp, width, height))
         elif method == "Synthetic":
@@ -276,7 +285,13 @@ class TopDownPerson(Computed):
 
     @staticmethod
     def joint_names(method="MMPose"):
-        """Per-method joint names (reference pipeline.py:1097-1141)."""
+        """Per-method joint names (reference pipeline.py:1097-1141; bridging
+        methods return the normalized superset subset names,
+        wrappers/bridging.py:179-296)."""
+        if method.startswith("Bridging_"):
+            from ..utils.bridging_superset import get_joint_names
+            skeleton = method.split("Bridging_")[1]
+            return get_joint_names("coco_25" if skeleton == "COCO_25" else skeleton)
         return {
             "MMPose": COCO_17,
             "MMPoseHrformerCoco": COCO_17,
@@ -287,7 +302,6 @@ class TopDownPerson(Computed):
             "OpenPose_BODY25B": BODY_25,
             "OpenPose_HR": BODY_25,
             "OpenPose_LR": BODY_25,
-            "Bridging_COCO_25": BODY_25,
             "Synthetic": COCO_17,
         }.get(method, COCO_17)
 

@@ -72,10 +72,38 @@ class LiftingPerson(Computed):
         method = (LiftingMethodLookup & key).fetch1("lifting_method_name")
 
         if method.startswith("Bridging_"):
+            # superset → named skeleton with per-skeleton TTA-noise
+            # confidence and clipped-image filtering (reference
+            # pipeline.py:1290-1410: bml/smpl+head/smplx branches use
+            # noise_to_conf(noise[:, skeleton_inds], 30, 10))
+            from ..ops.boxes import keypoints_filter_clipped
+            from ..utils.bridging_superset import (PER_SKELETON_INDICES,
+                                                   filter_skeleton,
+                                                   noise_to_conf)
+
+            skeleton = method.split("Bridging_")[1]
+            if skeleton == "COCO_25":
+                skeleton = "coco_25"
+            if skeleton not in PER_SKELETON_INDICES:
+                raise ValueError(f"Unknown bridging skeleton {skeleton!r}")
             kp3d = np.asarray((BottomUpBridgingPerson & key).fetch1("keypoints3d"))
+            noise = np.asarray((BottomUpBridgingPerson & key).fetch1("keypoint_noise"))
+            kp2d = np.asarray((BottomUpBridgingPerson & key).fetch1("keypoints"))
+            kp3d = filter_skeleton(kp3d, skeleton)        # (T, J, 4)
+            kp2d = filter_skeleton(kp2d, skeleton)
+            if skeleton != "coco_25":
+                # reference bml/smpl+head/smplx branches re-derive confidence
+                # at half_val=30, sharpness=10 (pipeline.py:1324,1363,1401);
+                # the coco_25 branch keeps the stored confidence (:1285-1292)
+                inds = PER_SKELETON_INDICES[skeleton]
+                kp3d[..., -1] = noise_to_conf(noise[:, inds],
+                                              half_val=30, sharpness=10)
+            # zero validity where the 2D projection falls outside the image
+            width, height = (VideoInfo & key).fetch1("width", "height")
+            kp2d = np.asarray(keypoints_filter_clipped(kp2d, width, height))
+            kp3d[..., -1] = np.where(kp2d[..., 2] > 0, kp3d[..., -1], 0.0)
             key["keypoints_3d"] = kp3d
-            key["keypoints_valid"] = (np.asarray(
-                (PersonBbox & key).fetch1("present"))).astype(bool)
+            key["keypoints_valid"] = kp3d[..., -1] > 0.5
             self.insert1(key)
             return
 
@@ -138,11 +166,20 @@ class LiftingPersonVideo(Computed):
 
         # project relative 3D into a fixed side panel (orthographic, y-down)
         pane = H
-        c3 = kp3d - kp3d[:, :1]                      # root-relative
+        c3 = kp3d[..., :3] - kp3d[:, :1, :3]         # root-relative
         scale = pane * 0.35 / max(float(np.abs(c3).max()), 1e-3)
         proj = np.stack([c3[..., 0] * scale + pane / 2,
                          c3[..., 1] * scale + pane / 2,
                          np.ones_like(c3[..., 0])], axis=-1)
+
+        # bridging methods carry their own skeleton's edge list
+        method = (LiftingMethodLookup & key).fetch1("lifting_method_name")
+        limbs3d = H36M_17_LIMBS
+        if method.startswith("Bridging_"):
+            from ..utils.bridging_superset import get_skeleton_edges
+            skel = method.split("Bridging_")[1]
+            edges = get_skeleton_edges("coco_25" if skel == "COCO_25" else skel)
+            limbs3d = tuple((int(a), int(b)) for a, b in edges) or H36M_17_LIMBS
 
         from ..utils.skeletons import COCO_17_LIMBS
 
@@ -155,7 +192,7 @@ class LiftingPersonVideo(Computed):
                                                  color=(255, 255, 255)))
                 right = np.zeros((len(batch), H, pane, 3), np.uint8)
                 right = np.asarray(draw_skeleton(right, _seg(proj, idx, len(batch)),
-                                                 limbs=H36M_17_LIMBS, color=(80, 160, 255)))
+                                                 limbs=limbs3d, color=(80, 160, 255)))
                 for i in range(len(batch)):
                     if not valid[i]:
                         break

@@ -159,17 +159,48 @@ class SMPLPersonVideo(Computed):
     """
 
     def make(self, key):
-        """Projected-joint overlay (the reference rasterizes the full mesh via
-        pyrender, pipeline.py:1657-1706; the TPU path rasterizes projected
-        joints/skeleton on device — mesh rasterization is host-optional)."""
-        from .person2d import _render_single_person
+        """Posed-mesh overlay: vertices recomputed from the stored
+        poses/betas through the JAX body model, rasterized z-buffered +
+        flat-shaded on device (ops/mesh_raster.py — the TPU replacement for
+        the reference's pyrender path, pipeline.py:1657-1706,
+        utils/visualization.py:93-115)."""
+        import tempfile
+
+        from ..media.video import frame_batches, write_video
+        from ..models.smpl_body import BodyModel
+        from ..ops.mesh_raster import overlay_mesh_frame
 
         key = dict(key)
-        joints2d = np.asarray((SMPLPerson & key).fetch1("joints2d"))
-        conf = np.ones(joints2d.shape[:-1] + (1,), np.float32)
-        kp = np.concatenate([joints2d, conf], axis=-1)[:, :24]
+        row = (SMPLPerson & key).fetch1()
+        poses = np.asarray(row["poses"], np.float32)
+        betas = np.asarray(row["betas"], np.float32)
+        cams = np.asarray(row["cams"], np.float32)
+
+        body = BodyModel()
+        pose_format = "6d" if poses.shape[-1] == 6 else "aa"
+        # same body model + coordinate frame the regressor projected with
+        # (models/meshregressor.py _infer), so the stored cams apply directly
+        verts, _ = body(betas, poses, pose_format=pose_format)
+        verts = np.asarray(verts)
+        faces = body.p.faces
         video = (BlurredVideo & key).fetch1("output_video")
-        out = _render_single_person(video, kp, "coco_17")
+
+        def frames_gen():
+            idx = 0
+            for batch, valid in frame_batches(video, 8):
+                for i in range(len(batch)):
+                    if not valid[i]:
+                        break
+                    t = min(idx, len(verts) - 1)
+                    if faces is not None:
+                        yield overlay_mesh_frame(batch[i], verts[t], cams[t], faces)
+                    else:  # body model without topology: plain frame
+                        yield batch[i]
+                    idx += 1
+
+        fd, out = tempfile.mkstemp(suffix=".mp4")
+        os.close(fd)
+        write_video(frames_gen(), out)
         key["output_video"] = out
         self.insert1(key)
         os.remove(video)
@@ -311,13 +342,50 @@ class CenterHMRPersonVideo(Computed):
     """
 
     def make(self, key):
-        from .person2d import _render_single_person
+        """Posed-mesh overlay in the CenterHMR pj2d convention
+        (reference pipeline.py:1833-1874 renders via pyrender; here the
+        device rasterizer, ops/mesh_raster.py)."""
+        import tempfile
+
+        from ..media.video import frame_batches, write_video
+        from ..models.smpl_body import BodyModel
+        from ..ops.mesh_raster import overlay_mesh_xy
 
         key = dict(key)
-        kp = np.asarray((CenterHMRPerson & key).fetch1("keypoints"))
-        conf = np.ones(kp.shape[:-1] + (1,), np.float32)
+        row = (CenterHMRPerson & key).fetch1()
+        poses = np.asarray(row["poses"], np.float32)
+        betas = np.asarray(row["betas"], np.float32)
+        cams = np.asarray(row["cams"], np.float32)   # (T, 3) s, tx, ty
+        width, height = (VideoInfo & key).fetch1("width", "height")
+        scale = max(width, height)
+
+        body = BodyModel()
+        verts, _ = body(betas, poses, pose_format="6d")
+        verts = np.asarray(verts)
+        faces = body.p.faces
         video = (BlurredVideo & key).fetch1("output_video")
-        out = _render_single_person(video, np.concatenate([kp, conf], -1), "coco_17")
+
+        def frames_gen():
+            idx = 0
+            for batch, valid in frame_batches(video, 8):
+                for i in range(len(batch)):
+                    if not valid[i]:
+                        break
+                    t = min(idx, len(verts) - 1)
+                    # pj2d convention: image = (s*v + t) * scale + [w, h]/2
+                    p = cams[t, 0] * verts[t, :, :2] + cams[t, 1:3]
+                    x = p[:, 0] * scale + width / 2
+                    y = p[:, 1] * scale + height / 2
+                    if faces is not None and np.abs(cams[t, 0]) > 1e-6:
+                        frame = overlay_mesh_xy(batch[i], x, y, verts[t, :, 2], faces)
+                    else:
+                        frame = batch[i]
+                    yield frame
+                    idx += 1
+
+        fd, out = tempfile.mkstemp(suffix=".mp4")
+        os.close(fd)
+        write_video(frames_gen(), out)
         key["output_video"] = out
         self.insert1(key)
         os.remove(video)

@@ -367,6 +367,7 @@ class NativeStreamingRunner:
         work_q: queue.Queue = queue.Queue()
         worker_error: list = []
         pose_futs: list = []  # worker-local: (vid, n_valid, fut, boxes, scores)
+        q_samples: list = []  # producer-side queue depth (pipeline occupancy)
 
         def drain_pose(keep: int):
             while len(pose_futs) > keep:
@@ -439,6 +440,7 @@ class NativeStreamingRunner:
                         fut = est._detect_yuv(est.detector.params,
                                               jnp.asarray(small_buf.copy()))
                         work_q.put((vid, bidx, n, fut))
+                        q_samples.append(work_q.qsize())
                 finally:
                     reader.close()
         finally:
@@ -446,6 +448,12 @@ class NativeStreamingRunner:
             wt.join()
         if worker_error:
             raise worker_error[0]
+        # prefetch-pipeline occupancy: >0 mean means the consumer had work
+        # queued whenever the producer finished a chunk (decode-bound run)
+        self.last_queue_stats = dict(
+            mean=float(np.mean(q_samples)) if q_samples else 0.0,
+            max=int(max(q_samples)) if q_samples else 0,
+            chunks=len(q_samples))
 
         out = []
         for vid, r in enumerate(results):

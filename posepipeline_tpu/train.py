@@ -168,3 +168,114 @@ class TopDownTrainer:
             if log_every and step % log_every == 0:
                 print(f"topdown step {step}: loss {losses[-1]:.5f}")
         return losses
+
+
+# ---------------------------------------------------------------------------
+# Synthetic 3D gait sequences + lifter training
+# ---------------------------------------------------------------------------
+
+def synthetic_gait_3d(batch: int, frames: int, rng) -> np.ndarray:
+    """Procedural 3D walking sequences in the H36M-17 joint convention
+    (meters, pelvis-rooted): sinusoidal arm/leg swing with per-sequence
+    cadence, stature, and heading. Used to train/evaluate lifters with exact
+    3D ground truth (the synthetic analogue of the reference's H36M protocol,
+    demo/h36_dj.py:118-213)."""
+    t = np.arange(frames)[None, :, None]                   # (1, T, 1)
+    cadence = rng.uniform(0.12, 0.3, (batch, 1, 1))
+    phase = rng.uniform(0, 2 * np.pi, (batch, 1, 1))
+    stature = rng.uniform(0.85, 1.15, (batch, 1, 1))
+    swing = np.sin(cadence * t + phase)                    # (B, T, 1)
+    sway = 0.03 * np.sin(2 * cadence * t + phase)
+
+    out = np.zeros((batch, frames, 17, 3), np.float32)
+
+    def put(j, x, y, z):
+        out[..., j, 0] = np.broadcast_to(x, out.shape[:2])
+        out[..., j, 1] = np.broadcast_to(y, out.shape[:2])
+        out[..., j, 2] = np.broadcast_to(z, out.shape[:2])
+
+    s = stature[..., 0]
+    sw = swing[..., 0]
+    sy = sway[..., 0]
+    # H36M-17: 0 pelv, 1 rhip, 2 rkne, 3 rank, 4 lhip, 5 lkne, 6 lank,
+    # 7 spine, 8 thorax, 9 nose, 10 head, 11 lsho, 12 lelb, 13 lwri,
+    # 14 rsho, 15 relb, 16 rwri
+    put(0, sy, 0.0, 0.0)
+    put(1, 0.11 * s, -0.02 * s, 0.0)
+    put(4, -0.11 * s, -0.02 * s, 0.0)
+    put(2, 0.11 * s, -0.45 * s, 0.18 * s * sw)
+    put(5, -0.11 * s, -0.45 * s, -0.18 * s * sw)
+    put(3, 0.11 * s, -0.88 * s + 0.04 * np.abs(sw) * s, 0.32 * s * sw)
+    put(6, -0.11 * s, -0.88 * s + 0.04 * np.abs(sw) * s, -0.32 * s * sw)
+    put(7, sy, 0.25 * s, 0.0)
+    put(8, sy, 0.48 * s, 0.0)
+    put(9, sy, 0.58 * s, 0.05 * s)
+    put(10, sy, 0.68 * s, 0.0)
+    put(11, -0.18 * s, 0.45 * s, 0.0)
+    put(14, 0.18 * s, 0.45 * s, 0.0)
+    put(12, -0.2 * s, 0.2 * s, -0.22 * s * sw)
+    put(15, 0.2 * s, 0.2 * s, 0.22 * s * sw)
+    put(13, -0.2 * s, -0.02 * s, -0.38 * s * sw)
+    put(16, 0.2 * s, -0.02 * s, 0.38 * s * sw)
+    # heading rotation about the vertical axis
+    yaw = rng.uniform(-np.pi, np.pi, batch)
+    cy_, sy_ = np.cos(yaw)[:, None, None], np.sin(yaw)[:, None, None]
+    x, z = out[..., 0].copy(), out[..., 2].copy()
+    out[..., 0] = cy_ * x + sy_ * z
+    out[..., 2] = -sy_ * x + cy_ * z
+    return out
+
+
+def project_gait_2d(kp3d: np.ndarray, width: int = 1000, height: int = 1000,
+                    f: float = 1100.0, depth: float = 4.0) -> np.ndarray:
+    """Pinhole projection of gait sequences to pixel keypoints (conf = 1)."""
+    z = kp3d[..., 2] + depth
+    u = kp3d[..., 0] * f / z + width / 2
+    v = -kp3d[..., 1] * f / z + height / 2
+    conf = np.ones_like(u)
+    return np.stack([u, v, conf], -1).astype(np.float32)
+
+
+class LifterTrainer:
+    """Fit a LiftingModel (H36M-17 in/out) on synthetic 3D gait: projected
+    2D (screen-normalized) → root-relative 3D, MPJPE (L2) loss."""
+
+    def __init__(self, model, learning_rate: float = 1e-3):
+        self.model = model
+        self.opt = optax.adam(learning_rate)
+        self.opt_state = self.opt.init(model.params)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _step(self, params, opt_state, kp2d_norm, kp3d):
+        def loss_fn(p):
+            pred = self.model.net.apply(p, kp2d_norm)
+            return jnp.mean(jnp.linalg.norm(pred - kp3d, axis=-1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self.opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def fit_synthetic(self, steps: int = 300, batch: int = 16,
+                      frames: Optional[int] = None, seed: int = 0,
+                      width: int = 1000, height: int = 1000,
+                      log_every: int = 0):
+        from .models.lifting import normalize_screen_coordinates
+
+        cfg = self.model.cfg
+        frames = frames or max(cfg.receptive_field, 32)
+        rng = np.random.default_rng(seed)
+        losses = []
+        for step in range(steps):
+            kp3d = synthetic_gait_3d(batch, frames, rng)
+            kp2d = project_gait_2d(kp3d, width, height)
+            xy = np.asarray(normalize_screen_coordinates(
+                kp2d[..., :2], width, height))
+            x = xy.reshape(batch, frames, -1)
+            target = kp3d - kp3d[..., :1, :]               # root-relative
+            self.model.params, self.opt_state, loss = self._step(
+                self.model.params, self.opt_state, jnp.asarray(x),
+                jnp.asarray(target))
+            losses.append(float(loss))
+            if log_every and step % log_every == 0:
+                print(f"lifter step {step}: loss {losses[-1]:.4f}")
+        return losses

@@ -66,7 +66,10 @@ HAND_21 = (["Wrist"]
 JOINT_NAMES: Dict[str, List[str]] = {
     "coco_17": COCO_17,
     "body_25": BODY_25,
-    "coco_25": BODY_25,          # bridging's coco_25 is BODY_25-compatible order here
+    # NOTE: the *bridging* coco_25 display order lives in
+    # utils/bridging_superset.normalized_joint_name_dictionary; this entry is
+    # the BODY_25-ordered variant used by OpenPose-family tables
+    "coco_25": BODY_25,
     "h36m_17": H36M_17,
     "coco_wholebody_133": COCO_WHOLEBODY_133,
     "halpe_136": HALPE_136,

@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""End-to-end accuracy protocol on synthetic ground truth.
+
+Runs the H36M evaluation machinery (demo/h36m.py: MPJPE / P-MPJPE / PCK —
+the committed form of the reference's notebook protocol, demo/h36_dj.py)
+against nets *trained from scratch* on synthetic data by posepipeline_tpu.train:
+
+1. detector + top-down 2D net → full-pipeline PCK on held-out clips,
+   including the det_interval=4 streaming shortcut vs per-frame detection,
+2. temporal lifter → MPJPE / P-MPJPE on held-out 3D gait sequences.
+
+Writes ACCURACY.md and saves the trained weights as registry-loadable npz
+(models/params_io.py).
+
+    python scripts/eval_accuracy.py --steps 600 --out-dir weights/
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def eval_topdown_pipeline(det, td, n_clips=4, frames=48, hw=(480, 640),
+                          det_interval=1, seed=100):
+    """Detector → best box → top-down 2D over held-out synthetic clips.
+    Returns PCK@0.2·bbox-size and PCK@0.1·bbox-size (keypoint_matching-style
+    normalization) vs exact GT."""
+    import jax.numpy as jnp
+
+    from posepipeline_tpu.ops.boxes import fix_aspect_ratio
+    from posepipeline_tpu.testing import synthetic_video
+    from posepipeline_tpu.media.video import frame_batches
+    from posepipeline_tpu.demo.h36m import pck
+
+    H, W = hw
+    correct2, correct1, total = 0.0, 0.0, 0
+    for c in range(n_clips):
+        clip = synthetic_video(num_frames=frames, width=W, height=H,
+                               num_people=1, seed=seed + c)
+        gt = clip.keypoints[:, 0]                     # (T, 17, 3)
+        kp_all = []
+        t0 = 0
+        for batch, valid in frame_batches(clip.path, 8):
+            n = int(valid.sum())
+            boxes, scores = det(batch)
+            boxes = np.asarray(boxes)[:, 0]           # best proposal
+            if det_interval > 1:
+                idx = (np.arange(len(boxes)) // det_interval) * det_interval
+                boxes = boxes[idx]
+            kp = np.asarray(td(batch, boxes.astype(np.float32)))
+            kp_all.append(kp[:n])
+            t0 += n
+        kp_all = np.concatenate(kp_all)[: len(gt)]
+        scale = max(float(np.ptp(gt[..., 0])), float(np.ptp(gt[..., 1])))
+        valid = gt[..., 2] > 0
+        d = np.linalg.norm(kp_all[..., :2] - gt[..., :2], axis=-1)
+        correct2 += float(((d < 0.2 * scale) & valid).sum())
+        correct1 += float(((d < 0.1 * scale) & valid).sum())
+        total += float(valid.sum())
+        os.remove(clip.path)
+    return correct2 / total, correct1 / total
+
+
+def eval_lifter(model, n_seqs=8, frames=128, seed=200):
+    from posepipeline_tpu.demo.h36m import mpjpe, p_mpjpe
+    from posepipeline_tpu.train import project_gait_2d, synthetic_gait_3d
+
+    rng = np.random.default_rng(seed)
+    kp3d = synthetic_gait_3d(n_seqs, frames, rng)
+    kp2d = project_gait_2d(kp3d)
+    errs, perrs = [], []
+    for i in range(n_seqs):
+        pred, valid = model(kp2d[i], 1000.0, 1000.0, already_h36m=True)
+        pred = np.asarray(pred)
+        gt = kp3d[i] - kp3d[i][:, :1]
+        errs.append(float(mpjpe(pred * 1000, gt * 1000)))
+        perrs.append(float(p_mpjpe(pred * 1000, gt * 1000)))
+    return float(np.mean(errs)), float(np.mean(perrs))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--lifter-steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--out-dir", default="weights")
+    ap.add_argument("--report", default="ACCURACY.md")
+    args = ap.parse_args()
+
+    from posepipeline_tpu.models.init_util import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+
+    from posepipeline_tpu.models.detector import DetectorConfig, PersonDetector
+    from posepipeline_tpu.models.lifting import LiftingModel
+    from posepipeline_tpu.models.params_io import save_params
+    from posepipeline_tpu.models.topdown import TOPDOWN_CONFIGS, TopDownModel
+    from posepipeline_tpu.train import (DetectorTrainer, LifterTrainer,
+                                        TopDownTrainer)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    platform = jax.devices()[0].platform
+    report = [
+        "# ACCURACY — trained-on-synthetic protocol numbers",
+        "",
+        f"Backend: `{platform}`. Every number below is produced end-to-end by",
+        "`scripts/eval_accuracy.py`: nets are trained from scratch on synthetic",
+        "fixtures (posepipeline_tpu/train.py), evaluated on *held-out* synthetic",
+        "ground truth through the committed H36M protocol functions",
+        "(posepipeline_tpu/demo/h36m.py — MPJPE/P-MPJPE/PCK; the reference keeps",
+        "this protocol in notebooks, reference demo/h36_dj.py:118-213).",
+        "",
+        "These demonstrate the *measurement path and learnability*, not",
+        "pretrained-parity: reference-checkpoint conversion is available via",
+        "tools/convert_weights.py (model-level roundtrip tested in",
+        "tests/test_convert_roundtrip.py) when reference checkpoints are on disk.",
+        "",
+    ]
+
+    # ---- 2D pipeline ----
+    t0 = time.time()
+    det = PersonDetector(DetectorConfig(max_detections=8), input_hw=(480, 640))
+    dt = DetectorTrainer(det)
+    dl = dt.fit_synthetic(steps=args.steps, batch=args.batch, hw=(480, 640),
+                          log_every=max(args.steps // 5, 1))
+    td = TopDownModel(TOPDOWN_CONFIGS["MMPose"])
+    tt = TopDownTrainer(td)
+    tl = tt.fit_synthetic(steps=args.steps, batch=args.batch,
+                          log_every=max(args.steps // 5, 1))
+    train2d_s = time.time() - t0
+
+    pck02, pck01 = eval_topdown_pipeline(det, td, det_interval=1)
+    pck02_i4, pck01_i4 = eval_topdown_pipeline(det, td, det_interval=4)
+    save_params(os.path.join(args.out_dir, "topdown__MMPose.npz"), td.params)
+    save_params(os.path.join(args.out_dir, "detector__CenterDet.npz"), det.params)
+
+    report += [
+        "## 2D: detector → crop → top-down net (full pipeline path)",
+        "",
+        f"- training: {args.steps} steps each (detector focal+L1, top-down heatmap",
+        f"  MSE), {train2d_s:.0f} s total on `{platform}`;",
+        f"  losses {dl[0]:.3f}→{dl[-1]:.3f} (det), {tl[0]:.4f}→{tl[-1]:.4f} (2D)",
+        "- eval: 4 held-out clips × 48 frames, PCK normalized by GT person size",
+        "",
+        "| setting | PCK@0.2 | PCK@0.1 |",
+        "|---|---|---|",
+        f"| per-frame detection (det_interval=1) | {pck02:.3f} | {pck01:.3f} |",
+        f"| streaming shortcut (det_interval=4, bench path) | {pck02_i4:.3f} | {pck01_i4:.3f} |",
+        "",
+        f"det_interval=4 costs {abs(pck02 - pck02_i4):.3f} PCK@0.2 — the",
+        "measured accuracy price of the bench's every-4th-frame detection.",
+        "",
+    ]
+
+    # ---- 3D lifters ----
+    for name, steps in (("GastNet", args.lifter_steps),
+                        ("VideoPose3D", args.lifter_steps)):
+        t0 = time.time()
+        lm = LiftingModel(name)
+        lt = LifterTrainer(lm)
+        ll = lt.fit_synthetic(steps=steps, batch=8,
+                              log_every=max(steps // 5, 1))
+        err, perr = eval_lifter(lm)
+        save_params(os.path.join(args.out_dir, f"lifter__{name}.npz"), lm.params)
+        report += [
+            f"## 3D: {name} lifter (rf {lm.cfg.receptive_field})",
+            "",
+            f"- training: {steps} steps on synthetic 3D gait (train.py"
+            f" synthetic_gait_3d), {time.time()-t0:.0f} s;"
+            f" loss {ll[0]*1000:.1f}→{ll[-1]*1000:.1f} mm",
+            f"- held-out eval (8 seqs × 128 frames): **MPJPE {err:.1f} mm**,"
+            f" **P-MPJPE {perr:.1f} mm**",
+            "",
+        ]
+
+    report += [
+        "## Weight registry",
+        "",
+        f"Trained weights saved to `{args.out_dir}/` as flat npz; set",
+        f"`PPT_WEIGHTS_DIR={args.out_dir}` and the model registries",
+        "(get_topdown_model / LiftingModel) load them automatically",
+        "(tested in tests/test_convert_roundtrip.py and the verify drive).",
+        "",
+    ]
+    with open(args.report, "w") as f:
+        f.write("\n".join(report))
+    print(f"wrote {args.report}")
+
+
+if __name__ == "__main__":
+    main()

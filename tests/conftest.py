@@ -38,6 +38,13 @@ from posepipeline_tpu.core.config import config as _cfg
 _cfg["database.path"] = os.path.join(_SESSION_DIR, "pipeline.db")
 _cfg["stores"] = {"localattach": {"protocol": "file",
                                   "location": os.path.join(_SESSION_DIR, "store")}}
+# scale the 580-joint bridging net and the 21-joint hand net down for CPU
+# test runs (the tier-3 model-param registry; production keeps the defaults)
+_cfg.setdefault("custom", {})["bridging"] = {
+    "dim": 64, "depth": 2, "num_heads": 2, "num_aug": 4, "input_hw": (64, 48)}
+_cfg["custom"]["hand_model"] = {
+    "dim": 64, "depth": 2, "num_heads": 2,
+    "input_hw": (64, 64), "heatmap_hw": (16, 16)}
 
 
 def pytest_sessionfinish(session, exitstatus):

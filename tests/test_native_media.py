@@ -157,6 +157,31 @@ def test_i420_to_rgb_matches_cv2(clip):
         assert np.abs(rgb[i] - ref.astype(np.float32)).mean() < 1.0
 
 
+def test_native_runner_smoke(clip):
+    """Threaded producer/consumer runner on tiny nets (fast default-suite
+    coverage; the full-size-model variant below is marked slow)."""
+    from posepipeline_tpu.models.detector import DetectorConfig, PersonDetector
+    from posepipeline_tpu.models.topdown import TopDownConfig, TopDownModel
+    from posepipeline_tpu.runtime.stream import (I420PoseEstimator,
+                                                 NativeStreamingRunner)
+
+    det = PersonDetector(DetectorConfig(widths=(8, 16, 32, 64)),
+                         input_hw=(96, 160))
+    td = TopDownModel(TopDownConfig("tiny", num_joints=17, input_hw=(64, 48),
+                                    heatmap_hw=(16, 12), dim=32, depth=1,
+                                    num_heads=2, head_features=32))
+    est = I420PoseEstimator(detector=det, topdown=td,
+                            input_hw=(240, 320), det_scale=0.5)
+    runner = NativeStreamingRunner(estimator=est, chunk_frames=8)
+    res = runner.run([clip.path, clip.path], lift=False)
+    assert len(res) == 2
+    for r in res:
+        assert r["keypoints2d"].shape == (12, 17, 3)
+        assert np.isfinite(r["keypoints2d"]).all()
+        assert r["boxes"].shape == (12, 4)
+
+
+@pytest.mark.slow
 def test_native_runner_end_to_end(clip):
     from posepipeline_tpu.runtime.stream import (I420PoseEstimator,
                                                  NativeStreamingRunner)
