@@ -43,6 +43,7 @@ from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
 import numpy as np
 
 from . import blob as blob_format
+from . import djblob
 from .config import config as global_config
 from .store import FileStore
 
@@ -187,7 +188,13 @@ def _to_sql_value(attr: Attribute, value, store: FileStore):
     if value is None:
         return None
     if attr.logical == _LOGICAL_BLOB:
-        return sqlite3.Binary(blob_format.pack(value))
+        # DataJoint wire format (mYm/dj0) by default so reference notebooks
+        # fetch1() unchanged (SURVEY §7); PPB1 fallback for the few python
+        # types dj blobs don't model (e.g. timedelta)
+        try:
+            return sqlite3.Binary(djblob.pack(value))
+        except TypeError:
+            return sqlite3.Binary(blob_format.pack(value))
     if attr.logical == _LOGICAL_ATTACH:
         return store.put(str(value))
     if attr.logical == _LOGICAL_TIMESTAMP:
@@ -205,7 +212,7 @@ def _from_sql_value(attr: Attribute, value, store: FileStore, materialize_attach
     if value is None:
         return None
     if attr.logical == _LOGICAL_BLOB:
-        return blob_format.unpack(value)
+        return djblob.unpack(value)  # auto-detects dj0/mYm/ZL123/PPB1
     if attr.logical == _LOGICAL_ATTACH:
         return store.get(value) if materialize_attach else value
     if attr.logical == _LOGICAL_TIMESTAMP:

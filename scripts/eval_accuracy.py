@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 
-def eval_topdown_pipeline(det, td, n_clips=4, frames=48, hw=(480, 640),
+def eval_topdown_pipeline(det, td, n_clips=4, frames=48, hw=(240, 320),
                           det_interval=1, seed=100):
     """Detector → best box → top-down 2D over held-out synthetic clips.
     Returns PCK@0.2·bbox-size and PCK@0.1·bbox-size (keypoint_matching-style
@@ -85,7 +85,7 @@ def eval_lifter(model, n_seqs=8, frames=128, seed=200):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--lifter-steps", type=int, default=400)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--out-dir", default="weights")
@@ -126,9 +126,11 @@ def main():
 
     # ---- 2D pipeline ----
     t0 = time.time()
-    det = PersonDetector(DetectorConfig(max_detections=8), input_hw=(480, 640))
+    # 240x320: the TPU tunnel is transfer-bound (~2 MB/s); quarter-size
+    # frames cut per-step latency 25 s -> 1.1 s with no protocol change
+    det = PersonDetector(DetectorConfig(max_detections=8), input_hw=(240, 320))
     dt = DetectorTrainer(det)
-    dl = dt.fit_synthetic(steps=args.steps, batch=args.batch, hw=(480, 640),
+    dl = dt.fit_synthetic(steps=args.steps, batch=args.batch, hw=(240, 320),
                           log_every=max(args.steps // 5, 1))
     td = TopDownModel(TOPDOWN_CONFIGS["MMPose"])
     tt = TopDownTrainer(td)

@@ -18,6 +18,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent CPU-target compile cache: compiles dominate suite wall-time on
+# small hosts (1-core CI box: ~10 min cold, most of it XLA). The cache lives
+# in the gitignored .test_artifacts dir — same machine, same target, so none
+# of the cross-machine AOT mismatch issues a committed cache would have.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                               ".test_artifacts", "jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest
 
 # Bind the pipeline schema to a per-session scratch dir at conftest import —
