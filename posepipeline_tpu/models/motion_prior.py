@@ -1,117 +1,418 @@
-"""Test-time motion-prior fitting (the HuMoR slot), as an optax program.
+"""HuMoR-slot motion prior: learned latent dynamics + windowed test-time fit.
 
-Reference: wrappers/humor.py:83-314 — a 3-stage L-BFGS optimization fitting
-SMPL translation/orientation/pose/shape (+ latent motion) to 2D keypoint
-evidence over sliding 60-frame windows with 10-frame overlap, stitched with an
-overlap-consistency loss.
+Reference behavior re-created (wrappers/humor.py):
+- a learned CVAE motion model scores/generates state transitions with a
+  48-dim latent (humor.py:157-160, ``latent_size=48``);
+- fitting runs over 60-frame windows with 10-frame overlaps whose lengths
+  are adjusted to exactly cover the sequence (humor.py:29-56), optimizing
+  SMPL trans/orient/pose/shape plus per-transition latents in 3 weighted
+  stages (humor.py:121-146), with an overlap-consistency term
+  (``rgb_overlap_consist``) stitching adjacent windows;
+- outputs fill the HumorPerson contract (pipeline.py:1877-1918): trans,
+  root_orient, pose_body, betas, latent_pose, latent_motion, floor_plane,
+  contacts, vertices, faces.
 
-TPU-native redesign: the whole sequence is optimized **jointly** in one jitted
-optax (Adam) program — no Python window loop; the temporal-smoothness and
-prior terms play the motion-model role, and window stitching disappears
-because the sequence is one tensor. The output contract matches the reference
-HumorPerson table fields (pipeline.py:1877-1918).
+TPU-native redesign — differences from the reference, by design:
+- the reference loops windows through a batched L-BFGS per stage on GPU;
+  here ALL windows are one leading batch dimension inside ONE jitted optax
+  program per stage (vmapped body model, ``lax.scan`` over steps), and the
+  overlap-consistency term couples adjacent windows *inside* the same
+  compiled loss — stitching is a compiled crossfade, not a python loop;
+- the learned dynamics is a compact MLP CVAE over root-relative joint
+  states trained on procedurally generated motion (train_motion_prior) —
+  the same trained-from-scratch policy as every other net in this package
+  (weights load from ``$PPT_WEIGHTS_DIR/motion__prior.npz`` when present);
+- ``latent_pose`` is the pose's coordinates in a PCA basis fit alongside
+  the dynamics model (the VPoser-equivalent 32-dim embedding);
+- ``contacts`` are derived from fitted foot/hand joint velocity+height
+  (the reference thresholds learned contact probabilities).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict
+import math
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from flax import linen as nn
 
 from .smpl_body import BodyModel, rodrigues
 
-# BODY_25 → SMPL-24 correspondences (openpose joint → smpl joint) usable for
-# a reprojection data term: pairs of (body25_idx, smpl_idx)
+LATENT_MOTION = 48   # reference humor.py:158
+LATENT_POSE = 32     # VPoser latent size
+_STATE_DIM = 24 * 3 + 3   # root-relative SMPL joints + root velocity
+
+# BODY_25 → SMPL-24 correspondences for the reprojection data term
 _B25_TO_SMPL = [
-    (0, 15),   # nose ~ head
-    (1, 12),   # sternum/neck
-    (2, 17), (3, 19), (4, 21),    # right arm
-    (5, 16), (6, 18), (7, 20),    # left arm
-    (8, 0),                        # pelvis
-    (9, 2), (10, 5), (11, 8),     # right leg
-    (12, 1), (13, 4), (14, 7),    # left leg
+    (0, 15), (1, 12),
+    (2, 17), (3, 19), (4, 21),
+    (5, 16), (6, 18), (7, 20),
+    (8, 0),
+    (9, 2), (10, 5), (11, 8),
+    (12, 1), (13, 4), (14, 7),
 ]
 
-
-def _camera_project(joints, width, height):
-    """Fixed-intrinsics pinhole-ish projection into pixels (y-down)."""
-    f = height  # focal ~ image height
-    z = joints[..., 2] + 4.0  # camera 4m back
-    x = joints[..., 0] * f / z + width / 2
-    y = -joints[..., 1] * f / z + height * 0.95
-    return jnp.stack([x, y], axis=-1)
+# contact-tracked joints (9, HuMoR convention: hips, knees, ankles, toes, hands)
+_CONTACT_JOINTS = (0, 4, 5, 7, 8, 10, 11, 20, 21)
 
 
-@functools.partial(jax.jit, static_argnames=("body", "width", "height", "steps"))
-def _optimize(body: BodyModel, kp2d, conf, width: int, height: int, steps: int = 150):
-    T = kp2d.shape[0]
+class _MLP(nn.Module):
+    widths: Tuple[int, ...]
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        for w in self.widths:
+            x = nn.relu(nn.Dense(w)(x))
+        return nn.Dense(self.out)(x)
+
+
+class MotionVAE(nn.Module):
+    """CVAE over state transitions: s_t, z → Δs; prior p(z|s_t); enc q(z|s_t,s_{t+1})."""
+
+    latent: int = LATENT_MOTION
+    hidden: int = 256
+
+    def setup(self):
+        self.prior_net = _MLP((self.hidden, self.hidden), 2 * self.latent)
+        self.enc_net = _MLP((self.hidden, self.hidden), 2 * self.latent)
+        self.dec_net = _MLP((self.hidden, self.hidden), _STATE_DIM)
+
+    def prior(self, s):
+        mu, logvar = jnp.split(self.prior_net(s), 2, axis=-1)
+        return mu, jnp.clip(logvar, -8.0, 8.0)
+
+    def encode(self, s, s_next):
+        mu, logvar = jnp.split(self.enc_net(jnp.concatenate([s, s_next], -1)), 2, -1)
+        return mu, jnp.clip(logvar, -8.0, 8.0)
+
+    def decode(self, s, z):
+        return s + self.dec_net(jnp.concatenate([s, z], -1))
+
+    def __call__(self, s, s_next, rng):
+        mu_q, lv_q = self.encode(s, s_next)
+        z = mu_q + jnp.exp(0.5 * lv_q) * jax.random.normal(rng, mu_q.shape)
+        recon = self.decode(s, z)
+        mu_p, lv_p = self.prior(s)
+        kl = 0.5 * jnp.sum(lv_p - lv_q + (jnp.exp(lv_q) + (mu_q - mu_p) ** 2)
+                           / jnp.exp(lv_p) - 1.0, axis=-1)
+        return recon, kl
+
+
+def _joint_state(joints, trans):
+    """(T, 24, 3) joints + (T, 3) trans → (T-1, STATE) transition states."""
+    rel = (joints - trans[:, None]).reshape(joints.shape[0], -1)
+    vel = jnp.diff(trans, axis=0)
+    return jnp.concatenate([rel[:-1], vel], axis=-1), rel
+
+
+def synthetic_motion_batch(body: BodyModel, batch: int, frames: int, rng):
+    """Procedural smooth SMPL motion: sinusoidal joint angles + forward
+    walk → (B, T, 24, 3) joints and (B, T, 3) trans through the body model."""
+    t = np.arange(frames)[None, :, None, None]
+    amp = rng.uniform(0.05, 0.45, (batch, 1, 23, 3)) * rng.choice(
+        [0, 1], (batch, 1, 23, 3), p=[0.4, 0.6])
+    freq = rng.uniform(0.05, 0.35, (batch, 1, 23, 3))
+    phase = rng.uniform(0, 2 * np.pi, (batch, 1, 23, 3))
+    pose_body = (amp * np.sin(freq * t + phase)).astype(np.float32)
+    root = np.zeros((batch, frames, 1, 3), np.float32)
+    pose = np.concatenate([root, pose_body], axis=2)
+    speed = rng.uniform(0.0, 0.04, (batch, 1))
+    trans = np.zeros((batch, frames, 3), np.float32)
+    trans[..., 2] = speed * np.arange(frames)[None]
+    trans[..., 1] = 0.02 * np.sin(0.5 * np.arange(frames))[None]
+    betas = rng.normal(0, 0.5, (batch, 10)).astype(np.float32)
+    B, T = batch, frames
+    R = rodrigues(jnp.asarray(pose.reshape(B * T, 24, 3)))
+    _, joints = body._forward(
+        jnp.repeat(jnp.asarray(betas), T, axis=0), R,
+        jnp.asarray(trans.reshape(B * T, 3)))
+    return (np.asarray(joints).reshape(B, T, 24, 3),
+            trans, pose_body.reshape(B, T, 69))
+
+
+def train_motion_prior(steps: int = 300, batch: int = 32, frames: int = 24,
+                       seed: int = 0, log_every: int = 0):
+    """Train the CVAE dynamics + fit the 32-dim pose PCA basis.
+
+    Returns (params, pose_pca) where pose_pca is a dict with ``mean`` (69,)
+    and ``basis`` (32, 69) rows (principal directions).
+    """
+    body = BodyModel()
+    net = MotionVAE()
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    dummy_s = jnp.zeros((1, _STATE_DIM))
+    params = net.init(key, dummy_s, dummy_s, key)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, s, s_next, rng_key):
+        def loss_fn(p):
+            recon, kl = net.apply(p, s, s_next, rng_key)
+            return jnp.mean(jnp.sum((recon - s_next) ** 2, -1)) + 1e-3 * jnp.mean(kl)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    poses = []
+    losses = []
+    for i in range(steps):
+        joints, trans, pose_body = synthetic_motion_batch(body, batch, frames, rng)
+        if len(poses) < 50:
+            poses.append(pose_body.reshape(-1, 69))
+        s_list, s_next_list = [], []
+        for b in range(batch):
+            s, rel = _joint_state(jnp.asarray(joints[b]), jnp.asarray(trans[b]))
+            s_list.append(s)
+            s_next_list.append(jnp.concatenate(
+                [rel[1:], jnp.diff(jnp.asarray(trans[b]), axis=0)], -1))
+        s = jnp.concatenate(s_list)
+        s_next = jnp.concatenate(s_next_list)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, s, s_next, sub)
+        losses.append(float(loss))
+        if log_every and i % log_every == 0:
+            print(f"motion prior step {i}: loss {losses[-1]:.4f}")
+
+    sample = np.concatenate(poses)
+    mean = sample.mean(0)
+    _, _, vt = np.linalg.svd(sample - mean, full_matrices=False)
+    pose_pca = {"mean": mean.astype(np.float32),
+                "basis": vt[:LATENT_POSE].astype(np.float32)}
+    return params, pose_pca
+
+
+_prior_cache: Dict = {}
+
+
+def get_motion_prior():
+    """Trained dynamics weights: $PPT_WEIGHTS_DIR/motion_prior.npz when
+    present, else a short in-process training run (cached)."""
+    if "prior" not in _prior_cache:
+        from .params_io import load_params, registry_weights_path, save_params
+
+        path = registry_weights_path("motion", "prior")
+        if path:
+            flat = load_params(path)
+            params = flat["params"]
+            pca = {"mean": np.asarray(flat["pca_mean"]),
+                   "basis": np.asarray(flat["pca_basis"])}
+        else:
+            params, pca = train_motion_prior(steps=120, batch=16, frames=16)
+        _prior_cache["prior"] = (params, pca)
+    return _prior_cache["prior"]
+
+
+def reference_windows(T: int, seq_len: int = 60, overlap_len: int = 10) -> List[Tuple[int, int]]:
+    """The reference's exact window/overlap arithmetic (humor.py:29-56):
+    equal-length windows whose overlaps grow to exactly cover T frames."""
+    if T <= seq_len:
+        return [(0, T)]
+    num_seqs = math.ceil((T - overlap_len) / (seq_len - overlap_len))
+    r = seq_len * num_seqs - overlap_len * (num_seqs - 1) - T
+    extra_o = r // (num_seqs - 1)
+    overlap_len = overlap_len + extra_o
+    new_cov = seq_len * num_seqs - overlap_len * (num_seqs - 1)
+    r = new_cov - T
+    out = []
+    cur_s = 0
+    for idx in range(num_seqs):
+        out.append((cur_s, cur_s + seq_len))
+        cur_overlap = overlap_len + (1 if idx < r else 0)
+        cur_s += seq_len - cur_overlap
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("body", "net", "width", "height", "steps"))
+def _fit_windows(body: BodyModel, net: MotionVAE, prior_params,
+                 kp2d, conf, starts, width: int, height: int, steps: int = 60):
+    """All windows at once: (W, L, …) batched 3-stage optimization.
+
+    Stage weighting follows the reference table (humor.py:121-146):
+    stage 1 root-only data fit; stage 2 full pose + smoothness; stage 3
+    learned motion prior + joint consistency + overlap consistency.
+    """
+    W, L = kp2d.shape[0], kp2d.shape[1]
     b25_idx = jnp.asarray([p[0] for p in _B25_TO_SMPL])
     smpl_idx = jnp.asarray([p[1] for p in _B25_TO_SMPL])
 
     params = dict(
-        trans=jnp.zeros((T, 3)),
-        root_orient=jnp.zeros((T, 3)),
-        pose_body=jnp.zeros((T, 23, 3)),
+        trans=jnp.zeros((W, L, 3)),
+        root_orient=jnp.zeros((W, L, 3)),
+        pose_body=jnp.zeros((W, L, 23, 3)),
         betas=jnp.zeros((10,)),
+        z=jnp.zeros((W, L - 1, LATENT_MOTION)),
     )
 
-    def loss_fn(p):
-        pose = jnp.concatenate([p["root_orient"][:, None], p["pose_body"]], axis=1)
-        R = rodrigues(pose)
-        verts, joints = body._forward(jnp.tile(p["betas"][None], (T, 1)), R, p["trans"])
-        proj = _camera_project(joints[:, smpl_idx], width, height)
-        target = kp2d[:, b25_idx]
-        w = conf[:, b25_idx]
-        data = jnp.sum(w * jnp.sum((proj - target) ** 2, -1)) / (jnp.sum(w) + 1e-6)
-        # motion prior: velocity + acceleration smoothness (plays the role of
-        # the learned HuMoR dynamics at test time)
-        vel = jnp.diff(joints, axis=0)
-        acc = jnp.diff(vel, axis=0)
-        smooth = jnp.mean(vel**2) * 10.0 + jnp.mean(acc**2) * 100.0
-        pose_prior = jnp.mean(p["pose_body"] ** 2) * 1.0
-        shape_prior = jnp.mean(p["betas"] ** 2) * 0.1
-        return data / (height**2) * 1e4 + smooth + pose_prior + shape_prior
+    def forward(p):
+        pose = jnp.concatenate([p["root_orient"][:, :, None], p["pose_body"]], 2)
+        R = rodrigues(pose.reshape(W * L, 24, 3))
+        betas = jnp.tile(p["betas"][None], (W * L, 1))
+        _, joints = body._forward(betas, R, p["trans"].reshape(W * L, 3))
+        return joints.reshape(W, L, 24, 3)
+
+    def loss_fn(p, w_pose, w_motion, w_overlap):
+        joints = forward(p)
+        proj_z = joints[..., 2] + 4.0
+        f = height
+        proj = jnp.stack([joints[..., 0] * f / proj_z + width / 2,
+                          -joints[..., 1] * f / proj_z + height * 0.95], -1)
+        target = kp2d[:, :, b25_idx]
+        wgt = conf[:, :, b25_idx]
+        data = jnp.sum(wgt * jnp.sum((proj[:, :, smpl_idx] - target) ** 2, -1)) / (
+            jnp.sum(wgt) + 1e-6) / (height ** 2) * 1e4
+
+        vel = jnp.diff(joints, axis=1)
+        smooth = (jnp.mean(vel ** 2) * 10.0
+                  + jnp.mean(jnp.diff(vel, axis=1) ** 2) * 100.0)
+        pose_prior = jnp.mean(p["pose_body"] ** 2)
+        shape_prior = 0.1 * jnp.mean(p["betas"] ** 2)
+
+        # learned dynamics: decode(s_t, z_t) must reproduce s_{t+1}
+        # (joint_consistency) and z_t must be probable under p(z|s_t)
+        rel = (joints - p["trans"][:, :, None]).reshape(W, L, -1)
+        tvel = jnp.diff(p["trans"], axis=1)
+        s = jnp.concatenate([rel[:, :-1], tvel], -1)
+        s_next = jnp.concatenate([rel[:, 1:], tvel], -1)
+        pred = net.apply(prior_params, s.reshape(-1, _STATE_DIM),
+                         p["z"].reshape(-1, LATENT_MOTION), method=MotionVAE.decode)
+        consistency = jnp.mean(jnp.sum(
+            (pred - s_next.reshape(-1, _STATE_DIM)) ** 2, -1))
+        mu_p, lv_p = net.apply(prior_params, s.reshape(-1, _STATE_DIM),
+                               method=MotionVAE.prior)
+        z_flat = p["z"].reshape(-1, LATENT_MOTION)
+        nll = 0.5 * jnp.mean(jnp.sum(
+            (z_flat - mu_p) ** 2 / jnp.exp(lv_p) + lv_p, -1))
+
+        # overlap consistency between adjacent windows (rgb_overlap_consist):
+        # window w frames [starts[w+1]-starts[w]:] overlap window w+1 frames [:ov]
+        overlap = jnp.float32(0.0)
+        if W > 1:
+            shift = starts[1:] - starts[:-1]          # (W-1,)
+            idx = jnp.arange(L)
+            for w in range(W - 1):
+                ov_mask = (idx + shift[w]) < L        # frames of w+1 inside w
+                a = jnp.take(joints[w], jnp.clip(idx + shift[w], 0, L - 1), axis=0)
+                d = jnp.sum((a - joints[w + 1]) ** 2, (-2, -1)) * ov_mask
+                overlap = overlap + jnp.sum(d) / (jnp.sum(ov_mask) + 1e-6)
+
+        return (data + w_pose * (smooth * 1.0 + 0.04 * pose_prior + 0.05 * shape_prior)
+                + w_motion * (100.0 * consistency + 0.075 * nll)
+                + w_overlap * 200.0 * overlap)
 
     opt = optax.adam(5e-2)
-    state = opt.init(params)
 
-    def step(carry, _):
-        p, s = carry
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        updates, s = opt.update(grads, s)
-        p = optax.apply_updates(p, updates)
-        return (p, s), loss
+    def run_stage(params, mask, w_pose, w_motion, w_overlap):
+        state = opt.init(params)
 
-    (params, _), losses = jax.lax.scan(step, (params, state), None, length=steps)
-    pose = jnp.concatenate([params["root_orient"][:, None], params["pose_body"]], axis=1)
-    verts, joints = body._forward(jnp.tile(params["betas"][None], (T, 1)),
-                                  rodrigues(pose), params["trans"])
-    return params, verts, joints, losses
+        def step(carry, _):
+            p, s = carry
+            loss, grads = jax.value_and_grad(
+                lambda q: loss_fn(q, w_pose, w_motion, w_overlap))(p)
+            grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+            updates, s = opt.update(grads, s)
+            return (optax.apply_updates(p, updates), s), loss
+
+        (params, _), losses = jax.lax.scan(step, (params, state), None, length=steps)
+        return params, losses
+
+    ones = jax.tree.map(lambda x: jnp.ones_like(x), params)
+    root_mask = dict(ones, pose_body=jnp.zeros((W, L, 23, 3)),
+                     betas=jnp.zeros((10,)), z=jnp.zeros((W, L - 1, LATENT_MOTION)))
+    stage2_mask = dict(ones, z=jnp.zeros((W, L - 1, LATENT_MOTION)))
+    params, l1 = run_stage(params, root_mask, 0.0, 0.0, 0.0)
+    params, l2 = run_stage(params, stage2_mask, 1.0, 0.0, 1.0)
+    # initialize latents at the prior mean before stage 3
+    joints = forward(params)
+    rel = (joints - params["trans"][:, :, None]).reshape(W, L, -1)
+    tvel = jnp.diff(params["trans"], axis=1)
+    s = jnp.concatenate([rel[:, :-1], tvel], -1)
+    mu_p, _ = net.apply(prior_params, s.reshape(-1, _STATE_DIM), method=MotionVAE.prior)
+    params = dict(params, z=mu_p.reshape(W, L - 1, LATENT_MOTION))
+    params, l3 = run_stage(params, ones, 1.0, 1.0, 1.0)
+    joints = forward(params)
+    return params, joints, jnp.concatenate([l1, l2, l3])
+
+
+def _stitch(windows: List[Tuple[int, int]], T: int, arrs: Dict[str, np.ndarray]):
+    """Crossfade-blend per-window tensors (W, L, …) into (T, …)."""
+    out = {k: np.zeros((T,) + v.shape[2:], np.float32) for k, v in arrs.items()}
+    wsum = np.zeros(T, np.float32)
+    for w, (s, e) in enumerate(windows):
+        L = e - s
+        ramp = np.minimum(np.arange(1, L + 1), np.arange(L, 0, -1)).astype(np.float32)
+        wsum[s:e] += ramp
+        for k, v in arrs.items():
+            out[k][s:e] += v[w, :L] * ramp.reshape((-1,) + (1,) * (v.ndim - 2))
+    for k in out:
+        out[k] /= np.maximum(wsum, 1e-6).reshape((-1,) + (1,) * (out[k].ndim - 1))
+    return out
+
+
+def derive_contacts(joints: np.ndarray, vel_thresh: float = 0.005,
+                    height_quantile: float = 0.15) -> np.ndarray:
+    """(T, 24, 3) joints → (T, 9) contact indicators for the HuMoR joint set
+    (low vertical position + low velocity, the thresholded analogue of the
+    reference's learned contact outputs)."""
+    j = joints[:, _CONTACT_JOINTS, :]
+    vel = np.zeros(j.shape[:2], np.float32)
+    vel[1:] = np.linalg.norm(np.diff(j, axis=0), axis=-1)
+    vel[0] = vel[1] if len(vel) > 1 else 0.0
+    low = j[..., 1] < np.quantile(joints[..., 1], height_quantile)
+    return ((vel < vel_thresh) & low).astype(np.float32)
 
 
 def fit_motion(keypoints_body25: np.ndarray, width: int, height: int,
-               steps: int = 150) -> Dict[str, np.ndarray]:
+               steps: int = 60, seq_len: int = 60, overlap_len: int = 10
+               ) -> Dict[str, np.ndarray]:
     """Fit an SMPL trajectory to BODY_25 keypoints; returns HumorPerson fields."""
     body = BodyModel()
+    net = MotionVAE()
+    prior_params, pose_pca = get_motion_prior()
+
     kp = np.nan_to_num(np.asarray(keypoints_body25, np.float32))
-    kp2d = jnp.asarray(kp[..., :2])
-    conf = jnp.asarray(kp[..., 2])
-    params, verts, joints, losses = _optimize(body, kp2d, conf, int(width), int(height),
-                                              steps=steps)
     T = kp.shape[0]
-    return dict(
+    windows = reference_windows(T, seq_len, overlap_len)
+    L = windows[0][1] - windows[0][0]
+    kp_w = np.stack([kp[s:e] for s, e in windows])     # (W, L, 25, 3)
+    starts = jnp.asarray([s for s, _ in windows], jnp.int32)
+
+    params, joints_w, losses = _fit_windows(
+        body, net, prior_params, jnp.asarray(kp_w[..., :2]),
+        jnp.asarray(kp_w[..., 2]), starts, int(width), int(height), steps=steps)
+
+    z = np.asarray(params["z"])
+    z_full = np.concatenate([z, z[:, -1:]], axis=1)    # pad to L for stitching
+    stitched = _stitch(windows, T, dict(
         trans=np.asarray(params["trans"]),
         root_orient=np.asarray(params["root_orient"]),
-        pose_body=np.asarray(params["pose_body"]).reshape(T, -1),
-        betas=np.asarray(params["betas"]),
-        latent_pose=np.zeros((T, 32), np.float32),    # latent slots kept for contract
-        latent_motion=np.zeros((T - 1, 48), np.float32),
+        pose_body=np.asarray(params["pose_body"]).reshape(len(windows), L, 69),
+        z=z_full,
+        joints=np.asarray(joints_w)))
+    betas = np.asarray(params["betas"])
+
+    pose = np.concatenate([stitched["root_orient"][:, None],
+                           stitched["pose_body"].reshape(T, 23, 3)], axis=1)
+    verts, joints = body(np.tile(betas[None], (T, 1)), pose, stitched["trans"])
+    latent_pose = (stitched["pose_body"] - pose_pca["mean"]) @ pose_pca["basis"].T
+
+    return dict(
+        trans=stitched["trans"],
+        root_orient=stitched["root_orient"],
+        pose_body=stitched["pose_body"],
+        betas=betas,
+        latent_pose=latent_pose.astype(np.float32),
+        latent_motion=stitched["z"][:-1].astype(np.float32),
         floor_plane=np.array([0.0, 1.0, 0.0, 0.0], np.float32),
-        contacts=np.zeros((T, 9), np.float32),
+        contacts=derive_contacts(np.asarray(joints)),
         vertices=np.asarray(verts, np.float32),
-        faces=np.zeros((0, 3), np.int32),
+        faces=(body.p.faces if body.p.faces is not None
+               else np.zeros((0, 3), np.int32)),
     )

@@ -182,6 +182,23 @@ def main():
             "",
         ]
 
+    # ---- learned motion prior (HuMoR slot) ----
+    t0 = time.time()
+    from posepipeline_tpu.models.motion_prior import train_motion_prior
+
+    mp_params, pose_pca = train_motion_prior(steps=200, batch=16, frames=16)
+    save_params(os.path.join(args.out_dir, "motion__prior.npz"),
+                {"params": mp_params, "pca_mean": pose_pca["mean"],
+                 "pca_basis": pose_pca["basis"]})
+    report += [
+        "## Motion prior (HuMoR slot)",
+        "",
+        f"- CVAE dynamics (latent 48) + 32-d pose PCA trained on procedural",
+        f"  SMPL motion in {time.time()-t0:.0f} s; consumed by HumorPerson's",
+        "  3-stage windowed fit (models/motion_prior.py)",
+        "",
+    ]
+
     report += [
         "## Weight registry",
         "",

@@ -93,3 +93,36 @@ def test_blur_videos_api(env):
     out = (p.BlurredVideo & key).fetch1("output_video")
     assert os.path.isfile(out)
     os.remove(out)
+
+
+def test_humor_person_pipeline(env):
+    """HumorPerson end-to-end: OpenPosePerson keypoints → windowed learned-
+    prior fit → full contract row (reference wrappers/humor.py:277-314,
+    pipeline.py:1877-1918)."""
+    p, clip, key = env
+    from posepipeline_tpu.api import tracking_pipeline
+    from posepipeline_tpu.utils.skeletons import coco17_to_body25
+
+    tracking_pipeline(dict(key), tracking_method_name="Synthetic")
+    T = clip.keypoints.shape[0]
+    kp17 = np.concatenate(
+        [clip.keypoints[:, 0], np.ones((T, 17, 1), np.float32)], axis=-1)
+    body25 = coco17_to_body25(kp17)
+    p.OpenPose.insert1(dict(
+        key,
+        keypoints=[body25[t][None] for t in range(T)],
+        pose_ids=[np.array([0])] * T,
+        pose_scores=[np.array([1.0])] * T,
+        face_keypoints=[np.zeros((1, 70, 3), np.float32)] * T,
+        hand_keypoints=[np.zeros((1, 2, 21, 3), np.float32)] * T,
+    ), skip_duplicates=True)
+    p.OpenPosePerson.populate(key)
+    p.HumorPerson.populate(key)
+    row = (p.HumorPerson & key).fetch1()
+    assert np.asarray(row["trans"]).shape == (T, 3)
+    assert np.asarray(row["pose_body"]).shape == (T, 69)
+    assert np.asarray(row["latent_motion"]).shape == (T - 1, 48)
+    assert np.abs(np.asarray(row["latent_motion"])).sum() > 0
+    assert np.asarray(row["latent_pose"]).shape == (T, 32)
+    assert np.asarray(row["contacts"]).shape == (T, 9)
+    assert len(np.asarray(row["faces"]))

