@@ -177,6 +177,44 @@ def _hand_boxes_from_body25(body25: np.ndarray, conf_thresh: float = 0.2):
     return boxes
 
 
+def _face_boxes_from_body25(body25: np.ndarray, conf_thresh: float = 0.2):
+    """BODY_25 keypoints (…, 25, 3) → square face TLHW boxes (…, 4) from the
+    head keypoints (nose 0, eyes 16/15, ears 18/17) — the geometry the
+    reference's OpenPose face detector_mode 0 derives from the body pose
+    (wrappers/openpose.py:77-79 sets face_detector=0 = body-keypoint-driven)."""
+    kp = np.asarray(body25, np.float32)
+    head = kp[..., (0, 15, 16, 17, 18), :]     # (…, 5, 3)
+    ok = head[..., 2] > conf_thresh
+    n = np.maximum(ok.sum(-1), 1)
+    cx = np.where(ok, head[..., 0], 0).sum(-1) / n
+    cy = np.where(ok, head[..., 1], 0).sum(-1) / n
+    # size from inter-ear (fallback inter-eye) distance
+    ear_d = np.linalg.norm(kp[..., 17, :2] - kp[..., 18, :2], axis=-1)
+    eye_d = np.linalg.norm(kp[..., 15, :2] - kp[..., 16, :2], axis=-1)
+    size = np.maximum(np.where(ear_d > 1, ear_d * 1.6, eye_d * 3.0), 24.0)
+    valid = ok.sum(-1) >= 2
+    box = np.stack([cx - size / 2, cy - size / 2, size, size], axis=-1)
+    return np.where(valid[..., None], box, 0.0).astype(np.float32)
+
+
+_face_models = {}
+
+
+def _get_face_model():
+    """70-point face landmark net (OpenPose face output layout)."""
+    from ..core.config import config
+    from ..models.topdown import TopDownConfig, TopDownModel
+
+    if "face" not in _face_models:
+        kw = dict(num_joints=70, input_hw=(256, 256), heatmap_hw=(64, 64),
+                  dim=256, depth=6, num_heads=4)
+        kw.update(config.get("custom", {}).get("face_model", {}))
+        for k in ("input_hw", "heatmap_hw"):
+            kw[k] = tuple(kw[k])
+        _face_models["face"] = TopDownModel(TopDownConfig("face_OpenPose", **kw))
+    return _face_models["face"]
+
+
 def openpose_composite(video_path: str, batch_size: int = 8,
                        max_people: int = 4):
     """OpenPose-equivalent composite: BODY_25 body keypoints AND real
@@ -186,10 +224,11 @@ def openpose_composite(video_path: str, batch_size: int = 8,
     the body wrists and runs hand nets (wrappers/openpose.py:37-126, hand
     output consumed by pipeline.py:869-934). Here: detector proposals →
     top-down BODY_25 → wrist-derived hand boxes → 21-joint hand net, all
-    batched on device per frame chunk.
+    batched on device per frame chunk; likewise head-derived face boxes →
+    70-point face net (reference face_detector=0 mode).
 
-    Returns (keypoints, hands): lists over frames of (P, 25, 3) and
-    (P, 2, 21, 3) arrays.
+    Returns (keypoints, hands, faces): lists over frames of (P, 25, 3),
+    (P, 2, 21, 3) and (P, 70, 3) arrays.
     """
     from ..models.topdown import get_topdown_model
     from ..utils.skeletons import coco17_to_body25
@@ -197,9 +236,11 @@ def openpose_composite(video_path: str, batch_size: int = 8,
 
     body_model = get_topdown_model("MMPose")
     hand_model = _get_hand_model("OpenPoseHands")
+    face_model = _get_face_model()
     detector = None
     keypoints: List[np.ndarray] = []
     hands: List[np.ndarray] = []
+    faces: List[np.ndarray] = []
     for frames, valid in frame_batches(video_path, batch_size):
         if detector is None:
             detector = _get_detector((frames.shape[1], frames.shape[2]))
@@ -217,13 +258,19 @@ def openpose_composite(video_path: str, batch_size: int = 8,
                 hand_kp[:, p, h] = np.asarray(hand_model(frames, hand_boxes[:, p, h]))
         # zero-confidence where no hand box could be derived
         hand_kp[hand_boxes[..., 2] <= 0] = 0.0
+        face_boxes = _face_boxes_from_body25(kp25)  # (B, P, 4)
+        face_kp = np.zeros((B, P, 70, 3), np.float32)
+        for p in range(P):
+            face_kp[:, p] = np.asarray(face_model(frames, face_boxes[:, p]))
+        face_kp[face_boxes[..., 2] <= 0] = 0.0
         for i in range(B):
             if not valid[i]:
                 break
             keep = scores_b[i] > 0.3
             keypoints.append(kp25[i][keep])
             hands.append(hand_kp[i][keep])
-    return keypoints, hands
+            faces.append(face_kp[i][keep])
+    return keypoints, hands, faces
 
 
 def bottom_up_keypoints(video_path: str, method_name: str, num_joints: int = 25,

@@ -264,7 +264,7 @@ class OpenPose(Computed):
         key = dict(key)
         video = Video.get_robust_reader(key, return_cap=False)
         try:
-            keypoints, hands = backends.openpose_composite(video)
+            keypoints, hands, faces = backends.openpose_composite(video)
         finally:
             if os.path.exists(video):
                 os.remove(video)
@@ -275,8 +275,8 @@ class OpenPose(Computed):
         # real 21-joint hand keypoints from the wrist-conditioned hand net
         # (reference wrappers/openpose.py:37-126 hand output)
         key["hand_keypoints"] = hands
-        # 70-point face slot kept zero-confidence (no face landmark net yet)
-        key["face_keypoints"] = [np.zeros((len(k), 70, 3), np.float32) for k in keypoints]
+        # real 70-point face keypoints from the head-conditioned face net
+        key["face_keypoints"] = faces
         self.insert1(key)
 
 

@@ -54,6 +54,9 @@ _cfg.setdefault("custom", {})["bridging"] = {
 _cfg["custom"]["hand_model"] = {
     "dim": 64, "depth": 2, "num_heads": 2,
     "input_hw": (64, 64), "heatmap_hw": (16, 16)}
+_cfg["custom"]["face_model"] = {
+    "dim": 64, "depth": 2, "num_heads": 2,
+    "input_hw": (64, 64), "heatmap_hw": (16, 16)}
 
 
 def pytest_sessionfinish(session, exitstatus):

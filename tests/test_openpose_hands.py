@@ -48,13 +48,17 @@ def test_openpose_emits_nonzero_hands(op_env):
     row = (p.OpenPose & key).fetch1()
     assert len(row["hand_keypoints"]) == 6
     total_conf = 0.0
+    face_conf = 0.0
     for t, hands in enumerate(row["hand_keypoints"]):
         n_people = len(row["keypoints"][t])
         assert np.asarray(hands).shape == (n_people, 2, 21, 3)
+        assert np.asarray(row["face_keypoints"][t]).shape == (n_people, 70, 3)
         if n_people:
             total_conf += float(np.asarray(hands)[..., 2].sum())
-    # the done-criterion: matched hands are non-zero on a synthetic clip
+            face_conf += float(np.asarray(row["face_keypoints"][t])[..., 2].sum())
+    # the done-criterion: matched hands AND faces are non-zero on a synthetic clip
     assert total_conf > 0.0
+    assert face_conf > 0.0
 
 
 def test_openpose_person_carries_hands(pipeline_env):
@@ -94,3 +98,20 @@ def test_openpose_person_carries_hands(pipeline_env):
         if ids[t] >= 0:
             np.testing.assert_array_equal(hands[t], gt_hands[t, 0])
     assert (ids >= 0).any()
+
+
+def test_face_boxes_from_body25_geometry():
+    from posepipeline_tpu.pipeline.backends import _face_boxes_from_body25
+
+    kp = np.zeros((2, 25, 3), np.float32)
+    # person 0: nose + both ears confident, ears 40px apart
+    kp[0, 0] = [100, 90, 0.9]
+    kp[0, 17] = [120, 100, 0.9]
+    kp[0, 18] = [80, 100, 0.9]
+    # person 1: everything low confidence → no box
+    boxes = _face_boxes_from_body25(kp)
+    assert boxes.shape == (2, 4)
+    assert boxes[0, 2] == boxes[0, 3] == pytest.approx(64.0)  # 1.6 × 40
+    cx = boxes[0, 0] + boxes[0, 2] / 2
+    assert cx == pytest.approx(100.0)
+    assert np.all(boxes[1] == 0)
