@@ -265,14 +265,24 @@ class Schema:
 
     def connection(self) -> sqlite3.Connection:
         conn = getattr(self._local, "conn", None)
-        # re-open on fork AND on config path changes (tests/tools may point
-        # the config at a new database after tables were declared)
+        # re-open on fork AND on config path/host changes (tests/tools may
+        # point the config at a new database after tables were declared)
+        host = self.config.get("database.host") if hasattr(self.config, "get") else None
         if (conn is None or getattr(self._local, "pid", None) != os.getpid()
-                or getattr(self._local, "path", None) != self.db_path):
-            conn = sqlite3.connect(self.db_path, timeout=60.0, isolation_level=None)
-            conn.execute("PRAGMA journal_mode=WAL")
-            conn.execute("PRAGMA busy_timeout=60000")
-            conn.execute("PRAGMA synchronous=NORMAL")
+                or getattr(self._local, "path", None) != self.db_path
+                or getattr(self._local, "host", None) != host):
+            if host:
+                # cross-machine worker-fleet mode: route through the
+                # coordinator (core/remote.py) — the reference's MySQL-server
+                # role (Example_dj_local_conf.json database.host)
+                from .remote import connect_from_config
+
+                conn = connect_from_config(self.config)
+            else:
+                conn = sqlite3.connect(self.db_path, timeout=60.0, isolation_level=None)
+                conn.execute("PRAGMA journal_mode=WAL")
+                conn.execute("PRAGMA busy_timeout=60000")
+                conn.execute("PRAGMA synchronous=NORMAL")
             conn.execute(
                 "CREATE TABLE IF NOT EXISTS \"~jobs\" ("
                 "table_name TEXT NOT NULL, key_hash TEXT NOT NULL, status TEXT NOT NULL,"
@@ -284,6 +294,7 @@ class Schema:
             self._local.conn = conn
             self._local.pid = os.getpid()
             self._local.path = self.db_path
+            self._local.host = host
             # a path change after declaration means the new database lacks the
             # declared tables; re-declare them all (idempotent DDL)
             for cls in list(self.tables.values()):
@@ -508,6 +519,42 @@ def _expr_operand(r):
     return None
 
 
+def _translate_restriction_string(r: str) -> str:
+    """MySQL-style restriction string (``name="x"``) → SQLite SQL.
+
+    DataJoint restriction strings quote string literals with double quotes
+    (MySQL default); SQLite reserves those for identifiers. A blind
+    ``"``→``'`` swap corrupts literals that *contain* quotes — instead,
+    tokenize: double-quoted spans become single-quoted SQL literals with
+    embedded single quotes doubled; existing single-quoted literals pass
+    through untouched."""
+    out = []
+    i, n = 0, len(r)
+    while i < n:
+        c = r[i]
+        if c == "'":                       # existing literal: pass through
+            j = i + 1
+            while j < n:
+                if r[j] == "'":
+                    if j + 1 < n and r[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(r[i:min(j + 1, n)])
+            i = j + 1
+        elif c == '"':                     # MySQL string literal: convert
+            j = i + 1
+            while j < n and r[j] != '"':
+                j += 1
+            out.append("'" + r[i + 1:j].replace("'", "''") + "'")
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _compile_restriction(r, colmap, store, depth=0):
     """Compile one restriction against ``colmap`` (name → (qualified_sql,
     Attribute)). Returns (clause_sql, params) or None if not SQL-expressible."""
@@ -525,7 +572,7 @@ def _compile_restriction(r, colmap, store, depth=0):
             return "(1=1)", []
         return "(" + " AND ".join(sub) + ")", params
     if isinstance(r, str):
-        return "(" + r.replace('"', "'") + ")", []
+        return "(" + _translate_restriction_string(r) + ")", []
     if isinstance(r, (list, tuple)):
         if len(r) == 0:
             return "(1=0)", []

@@ -57,7 +57,9 @@ def eval_topdown_pipeline(det, td, n_clips=4, frames=48, hw=(240, 320),
             t0 += n
         kp_all = np.concatenate(kp_all)[: len(gt)]
         scale = max(float(np.ptp(gt[..., 0])), float(np.ptp(gt[..., 1])))
-        valid = gt[..., 2] > 0
+        # synthetic GT is (T, 17, 2) — every joint annotated
+        valid = (gt[..., 2] > 0 if gt.shape[-1] > 2
+                 else np.ones(gt.shape[:-1], bool))
         d = np.linalg.norm(kp_all[..., :2] - gt[..., :2], axis=-1)
         correct2 += float(((d < 0.2 * scale) & valid).sum())
         correct1 += float(((d < 0.1 * scale) & valid).sum())
@@ -138,10 +140,11 @@ def main():
                           log_every=max(args.steps // 5, 1))
     train2d_s = time.time() - t0
 
-    pck02, pck01 = eval_topdown_pipeline(det, td, det_interval=1)
-    pck02_i4, pck01_i4 = eval_topdown_pipeline(det, td, det_interval=4)
+    # save BEFORE eval so a crash never loses a training run
     save_params(os.path.join(args.out_dir, "topdown__MMPose.npz"), td.params)
     save_params(os.path.join(args.out_dir, "detector__CenterDet.npz"), det.params)
+    pck02, pck01 = eval_topdown_pipeline(det, td, det_interval=1)
+    pck02_i4, pck01_i4 = eval_topdown_pipeline(det, td, det_interval=4)
 
     report += [
         "## 2D: detector → crop → top-down net (full pipeline path)",

@@ -289,3 +289,26 @@ def test_semijoin_antijoin_sql_pushdown(schema):
     assert len(Session & [{"session_id": 1}, {"session_id": 2}]) == 2
     # empty list matches nothing (DataJoint convention)
     assert len(Session & []) == 0
+
+
+def test_string_restriction_quote_translation(schema):
+    """MySQL-style double-quoted literals translate correctly, including
+    literals containing quote characters (a blind swap corrupts these)."""
+    from posepipeline_tpu.core.engine import Manual, _translate_restriction_string
+
+    assert _translate_restriction_string('name="x"') == "name='x'"
+    assert _translate_restriction_string('''name="o'brien"''') == "name='o''brien'"
+    assert _translate_restriction_string("name='already'") == "name='already'"
+    assert _translate_restriction_string('a="x" AND b="y"') == "a='x' AND b='y'"
+
+    @schema
+    class Named(Manual):
+        definition = """
+        name: varchar(64)
+        ---
+        val: int
+        """
+
+    Named.insert([{"name": "o'brien", "val": 1}, {"name": "plain", "val": 2}])
+    assert (Named & '''name="o'brien"''').fetch1("val") == 1
+    assert (Named & 'name="plain"').fetch1("val") == 2
