@@ -56,5 +56,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # XLA:CPU AOT executables embed compile-machine tuning flags
+        # (+prefer-no-scatter/…) that fail strict feature checks when the
+        # compiling context differs from the loading one (observed with the
+        # remote-TPU tunnel: noisy cpu_aot_loader errors on every load).
+        # Keep the jax-level compiled-module cache, skip XLA's AOT caches.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:
         pass
