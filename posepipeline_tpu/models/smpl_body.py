@@ -190,7 +190,7 @@ def toy_body_model(num_vertices: int = 512, n_betas: int = 10, seed: int = 0) ->
     shapedirs = rng.normal(0, 0.005, (V, 3, n_betas)).astype(np.float32)
     posedirs = rng.normal(0, 0.0005, (V, 3, 207)).astype(np.float32)
     return BodyModelParams(v_template, shapedirs, posedirs, J_regressor,
-                           lbs_weights, faces=faces)
+                           lbs_weights, faces=faces, model_type="smpl_toy")
 
 
 class BodyModel:
@@ -202,6 +202,18 @@ class BodyModel:
             params = load_smpl_npz(path) if path and os.path.isfile(path) else toy_body_model()
         self.p = params
         self.num_vertices = len(params.v_template)
+        self.is_toy = params.model_type == "smpl_toy"
+        if self.is_toy and not BodyModel._warned_toy:
+            BodyModel._warned_toy = True
+            import warnings
+
+            warnings.warn(
+                "SMPL_MODEL_PATH not set — using the procedural toy body "
+                "model. Downstream SMPL tables will record "
+                "model_type='smpl_toy' so outputs are never mistaken for "
+                "real SMPL geometry.", stacklevel=2)
+
+    _warned_toy = False
 
     @functools.partial(jax.jit, static_argnums=0)
     def _forward(self, betas, pose_rotmats, transl):

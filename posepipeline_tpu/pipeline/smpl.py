@@ -132,7 +132,9 @@ class SMPLPerson(Computed):
             (j3[..., 1] + ty[:, None]) * sy[:, None] * (height / 2) + height / 2,
         ], axis=-1)
 
-        key["model_type"] = "smpl"
+        # 'smpl_toy' when running on the procedural body (no SMPL_MODEL_PATH)
+        # so nothing downstream mistakes toy geometry for real SMPL output
+        key["model_type"] = model.body.p.model_type
         key["cams"] = orig_cam
         key["poses"] = np.asarray(out["poses"])
         key["betas"] = np.asarray(out["betas"])
