@@ -334,7 +334,7 @@ class NativeStreamingRunner:
     def __init__(self, estimator: Optional[I420PoseEstimator] = None,
                  lifter: Optional[LiftingModel] = None,
                  chunk_frames: int = 96, max_inflight_pose: int = 4,
-                 num_buffers: int = 4):
+                 num_buffers: int = 6):
         self.estimator = estimator
         self.lifter = lifter
         self.chunk_frames = int(chunk_frames)
@@ -366,17 +366,26 @@ class NativeStreamingRunner:
 
         work_q: queue.Queue = queue.Queue()
         worker_error: list = []
-        pose_futs: list = []  # worker-local: (vid, n_valid, fut, boxes, scores)
+        # third pipeline stage: kp fetches wait in their own thread so the
+        # box-fetch wait (worker) and the kp-fetch wait never serialize —
+        # on a 1-core host both waits release the GIL and overlap decode
+        pose_q: queue.Queue = queue.Queue(maxsize=self.max_inflight_pose)
         q_samples: list = []  # producer-side queue depth (pipeline occupancy)
 
-        def drain_pose(keep: int):
-            while len(pose_futs) > keep:
-                vid, n, fut, boxes, scores = pose_futs.pop(0)
-                with metrics.StageTimer("native.fetch_kp", frames=n):
-                    kp = np.asarray(fut)
-                results[vid]["boxes"].append(boxes[:n])
-                results[vid]["scores"].append(scores[:n])
-                results[vid]["keypoints"].append(kp[:n])
+        def fetcher():
+            try:
+                while True:
+                    entry = pose_q.get()
+                    if entry is None:
+                        break
+                    vid, n, fut, boxes, scores = entry
+                    with metrics.StageTimer("native.fetch_kp", frames=n):
+                        kp = np.asarray(fut)
+                    results[vid]["boxes"].append(boxes[:n])
+                    results[vid]["scores"].append(scores[:n])
+                    results[vid]["keypoints"].append(kp[:n])
+            except Exception as e:  # noqa: BLE001 - surfaced in main thread
+                worker_error.append(e)
 
         def process(entry):
             vid, bidx, n, fut = entry
@@ -391,8 +400,7 @@ class NativeStreamingRunner:
             free_bufs.put(bidx)
             fut2 = est._pose_yuv(est.topdown.params, jnp.asarray(crops),
                                  jnp.asarray(fixed))
-            pose_futs.append((vid, n, fut2, boxes, scores))
-            drain_pose(self.max_inflight_pose)
+            pose_q.put((vid, n, fut2, boxes, scores))
 
         def worker():
             try:
@@ -401,7 +409,6 @@ class NativeStreamingRunner:
                     if entry is None:
                         break
                     process(entry)
-                drain_pose(0)
             except Exception as e:  # noqa: BLE001 - surfaced in main thread
                 worker_error.append(e)
                 # unblock the producer waiting on buffers
@@ -410,6 +417,8 @@ class NativeStreamingRunner:
 
         wt = threading.Thread(target=worker, daemon=True)
         wt.start()
+        ft = threading.Thread(target=fetcher, daemon=True)
+        ft.start()
 
         import time as _time
 
@@ -446,6 +455,8 @@ class NativeStreamingRunner:
         finally:
             work_q.put(None)
             wt.join()
+            pose_q.put(None)
+            ft.join()
         if worker_error:
             raise worker_error[0]
         # prefetch-pipeline occupancy: >0 mean means the consumer had work
