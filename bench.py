@@ -49,7 +49,7 @@ def main():
         from posepipeline_tpu.runtime.stream import (I420PoseEstimator,
                                                      NativeStreamingRunner)
 
-        chunk = int(os.environ.get("BENCH_CHUNK", "96"))
+        chunk = int(os.environ.get("BENCH_CHUNK", "32"))
         est = I420PoseEstimator(input_hw=(height, width))
         runner = NativeStreamingRunner(estimator=est, lifter=lifter,
                                        chunk_frames=chunk)

@@ -333,8 +333,12 @@ class NativeStreamingRunner:
 
     def __init__(self, estimator: Optional[I420PoseEstimator] = None,
                  lifter: Optional[LiftingModel] = None,
-                 chunk_frames: int = 96, max_inflight_pose: int = 4,
+                 chunk_frames: int = 32, max_inflight_pose: int = 4,
                  num_buffers: int = 6):
+        # chunk 32 is the measured sweet spot on the 1-core + remote-link
+        # bench host: per-chunk round-trip stalls shrink with chunk size
+        # until fixed dispatch overhead dominates
+        # (96->199, 64->215, 48->228, 32->277, 24->181 fps e2e 1080p)
         self.estimator = estimator
         self.lifter = lifter
         self.chunk_frames = int(chunk_frames)
