@@ -196,6 +196,8 @@ def get_motion_prior():
     """Trained dynamics weights: $PPT_WEIGHTS_DIR/motion_prior.npz when
     present, else a short in-process training run (cached)."""
     if "prior" not in _prior_cache:
+        import os
+
         from .params_io import load_params, registry_weights_path, save_params
 
         path = registry_weights_path("motion", "prior")
@@ -206,6 +208,18 @@ def get_motion_prior():
                    "basis": np.asarray(flat["pca_basis"])}
         else:
             params, pca = train_motion_prior(steps=120, batch=16, frames=16)
+            # persist the fallback-trained prior so later processes load
+            # instead of retraining (tests point PPT_WEIGHTS_DIR at a
+            # session-cache dir for exactly this)
+            d = os.environ.get("PPT_WEIGHTS_DIR")
+            if d:
+                try:
+                    os.makedirs(d, exist_ok=True)
+                    save_params(os.path.join(d, "motion__prior.npz"),
+                                {"params": params, "pca_mean": pca["mean"],
+                                 "pca_basis": pca["basis"]})
+                except OSError:
+                    pass
         _prior_cache["prior"] = (params, pca)
     return _prior_cache["prior"]
 
