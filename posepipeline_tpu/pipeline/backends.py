@@ -273,6 +273,28 @@ def openpose_composite(video_path: str, batch_size: int = 8,
     return keypoints, hands, faces
 
 
+def bottom_up_ae_keypoints(video_path: str, batch_size: int = 8,
+                           score_threshold: float = 0.15) -> List[np.ndarray]:
+    """True bottom-up multi-person keypoints: the associative-embedding
+    heatmap+tag net (models/bottomup_ae.py), one full-frame device program
+    per batch — no person detector (reference wrappers/mmpose.py:84-121).
+
+    Returns list over frames of (P, 17, 3) arrays (people with score above
+    ``score_threshold``)."""
+    from ..models.bottomup_ae import get_bottomup_model
+
+    model = get_bottomup_model()
+    out: List[np.ndarray] = []
+    for frames, valid in frame_batches(video_path, batch_size):
+        people, scores = model(frames)
+        people, scores = np.asarray(people), np.asarray(scores)
+        for i in range(len(frames)):
+            if not valid[i]:
+                break
+            out.append(people[i][scores[i] > score_threshold])
+    return out
+
+
 def bottom_up_keypoints(video_path: str, method_name: str, num_joints: int = 25,
                         batch_size: int = 8, max_people: int = 4) -> List[np.ndarray]:
     """Multi-person 2D keypoints per frame (BottomUpPeople contract:

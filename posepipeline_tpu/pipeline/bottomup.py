@@ -98,18 +98,25 @@ class BottomUpPeople(Computed):
                 kp = np.concatenate([np.asarray(kp)[..., :2], conf[..., None]], axis=-1)
                 final.append(filter_skeleton(kp, "coco_25")[:, reorder])
             key["keypoints"] = final
+        elif method == "MMPose":
+            # true bottom-up: associative-embedding heatmap+tag net, no
+            # detector (reference wrappers/mmpose.py:84-121 HigherHRNet/AE);
+            # COCO-17 convention for the MMPose slot
+            video = Video.get_robust_reader(key, return_cap=False)
+            try:
+                key["keypoints"] = backends.bottom_up_ae_keypoints(video)
+            finally:
+                if os.path.exists(video):
+                    os.remove(video)
         else:
-            # OpenPose/MMPose slots: batched detector+top-down composite
+            # OpenPose slots: batched detector+top-down composite
             video = Video.get_robust_reader(key, return_cap=False)
             try:
                 kp17 = backends.bottom_up_keypoints(video, method)
             finally:
                 if os.path.exists(video):
                     os.remove(video)
-            if method == "MMPose":
-                key["keypoints"] = kp17  # COCO-17 convention for the MMPose slot
-            else:
-                key["keypoints"] = [coco17_to_body25(k) for k in kp17]
+            key["keypoints"] = [coco17_to_body25(k) for k in kp17]
 
         self.insert1(key)
 

@@ -180,3 +180,29 @@ def synthetic_video(
     write_video(iter(frames), path, fps=fps)
     colors = [_PERSON_COLORS[p % len(_PERSON_COLORS)] for p in range(num_people)]
     return SyntheticClip(path, fps, width, height, all_joints, bboxes, colors)
+
+
+def synthetic_multi_frames(batch: int, height: int = 128, width: int = 160,
+                           num_people: int = 2,
+                           rng: Optional[np.random.Generator] = None):
+    """In-memory multi-person frames with GT (AE bottom-up training).
+
+    Returns (frames (B, H, W, 3) uint8, keypoints (B, P, 17, 2)).
+    People are laid out in non-overlapping horizontal bands so identity
+    ground truth is unambiguous for grouping losses.
+    """
+    rng = rng or np.random.default_rng(0)
+    frames = np.full((batch, height, width, 3), 16, np.uint8)
+    kps = np.zeros((batch, num_people, 17, 2), np.float32)
+    band = width / num_people
+    for b in range(batch):
+        for p in range(num_people):
+            scale = rng.uniform(0.35, 0.55) * height
+            cx = (p + rng.uniform(0.35, 0.65)) * band
+            cy = rng.uniform(0.45, 0.6) * height
+            phase = rng.uniform(0, 2 * np.pi)
+            j = stick_figure(cx, cy, scale, phase)
+            _draw_person(frames[b], j, _PERSON_COLORS[p % len(_PERSON_COLORS)],
+                         thickness=max(2, int(scale / 40)))
+            kps[b, p] = j
+    return frames, kps

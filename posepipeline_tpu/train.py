@@ -298,3 +298,89 @@ class LifterTrainer:
             if log_every and step % log_every == 0:
                 print(f"lifter step {step}: loss {losses[-1]:.4f}")
         return losses
+
+
+# ---------------------------------------------------------------------------
+# Associative-embedding bottom-up trainer
+# ---------------------------------------------------------------------------
+
+def ae_targets(keypoints, hw: Tuple[int, int], out_hw: Tuple[int, int],
+               sigma: float = 2.0):
+    """(B, P, 17, 2) pixel keypoints → heatmaps (B, h, w, J) + per-peak
+    heatmap indices (B, P, J) for the tag pull/push loss."""
+    H, W = hw
+    h, w = out_hw
+    kp = jnp.asarray(keypoints, jnp.float32)
+    x = kp[..., 0] / W * w
+    y = kp[..., 1] / H * h
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    d2 = ((yy[None, None, None] - y[..., None, None]) ** 2
+          + (xx[None, None, None] - x[..., None, None]) ** 2)
+    hm = jnp.exp(-d2 / (2 * sigma ** 2)).max(axis=1)       # (B, J, h, w)
+    hm = jnp.transpose(hm, (0, 2, 3, 1))
+    ix = jnp.clip(jnp.round(x), 0, w - 1).astype(jnp.int32)
+    iy = jnp.clip(jnp.round(y), 0, h - 1).astype(jnp.int32)
+    return hm, iy * w + ix
+
+
+class AETrainer:
+    """Train the bottom-up heatmap+tag net: heatmap MSE + AE pull/push
+    grouping loss (tags of one person's joints pull to their mean; distinct
+    people's means push apart)."""
+
+    def __init__(self, model, learning_rate: float = 1e-3):
+        self.model = model
+        self.opt = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(optax.schedules.warmup_cosine_decay_schedule(
+                0.0, learning_rate, 20, 400, learning_rate * 0.05)))
+        self.opt_state = self.opt.init(model.params)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _step(self, params, opt_state, frames, keypoints):
+        J = self.model.cfg.num_joints
+
+        def loss_fn(p):
+            x = frames.astype(jnp.float32) / 255.0
+            out = self.model.net.apply(p, x)
+            hm = jax.nn.sigmoid(out[..., :J])
+            tags = out[..., J:]
+            B, h, w, _ = hm.shape
+            t_hm, peak_idx = ae_targets(keypoints, frames.shape[1:3], (h, w))
+            l_hm = jnp.mean((hm - t_hm) ** 2)
+            # gather each GT joint's tag value
+            tag_flat = tags.transpose(0, 3, 1, 2).reshape(B, J, h * w)
+            ptag = jnp.take_along_axis(
+                tag_flat, jnp.transpose(peak_idx, (0, 2, 1)), axis=-1)  # (B,J,P)
+            ptag = jnp.transpose(ptag, (0, 2, 1))                        # (B,P,J)
+            mean_tag = ptag.mean(axis=-1, keepdims=True)                 # (B,P,1)
+            pull = jnp.mean((ptag - mean_tag) ** 2)
+            md = mean_tag[:, :, 0]
+            diff = md[:, :, None] - md[:, None, :]                        # (B,P,P)
+            P = md.shape[1]
+            off = 1.0 - jnp.eye(P)
+            push = jnp.mean(jnp.exp(-diff ** 2) * off)
+            return 10.0 * l_hm + pull + 0.5 * push
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self.opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def fit_synthetic(self, steps: int = 200, batch: int = 8,
+                      hw: Tuple[int, int] = (128, 160), num_people: int = 2,
+                      seed: int = 0, log_every: int = 0):
+        from .testing import synthetic_multi_frames
+
+        rng = np.random.default_rng(seed)
+        losses = []
+        for step in range(steps):
+            frames, kps = synthetic_multi_frames(batch, hw[0], hw[1],
+                                                 num_people, rng)
+            self.model.params, self.opt_state, loss = self._step(
+                self.model.params, self.opt_state,
+                jnp.asarray(frames), jnp.asarray(kps))
+            losses.append(float(loss))
+            if log_every and step % log_every == 0:
+                print(f"ae step {step}: loss {losses[-1]:.4f}")
+        return losses

@@ -57,6 +57,7 @@ _cfg["custom"]["hand_model"] = {
 _cfg["custom"]["face_model"] = {
     "dim": 64, "depth": 2, "num_heads": 2,
     "input_hw": (64, 64), "heatmap_hw": (16, 16)}
+_cfg["custom"]["bottomup_model"] = {"widths": (8, 16, 32, 64)}
 # cache the fallback-trained motion prior across suite runs (saves ~20 s of
 # in-process CVAE training per run); only files that exist are ever loaded
 os.environ.setdefault("PPT_WEIGHTS_DIR",

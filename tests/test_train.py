@@ -75,3 +75,15 @@ def test_topdown_loss_decreases():
     trainer = TopDownTrainer(model, learning_rate=1e-3)
     losses = trainer.fit_synthetic(steps=30, batch=4, seed=2)
     assert losses[-1] < losses[0] * 0.8, f"{losses[0]} → {losses[-1]}"
+
+
+def test_ae_trainer_reduces_loss():
+    """Bottom-up AE training: heatmap MSE + tag pull/push loss decreases."""
+    from posepipeline_tpu.models.bottomup_ae import (AEBottomUpModel,
+                                                     BottomUpConfig)
+    from posepipeline_tpu.train import AETrainer
+
+    model = AEBottomUpModel(BottomUpConfig(widths=(8, 16, 32, 64)))
+    trainer = AETrainer(model)
+    losses = trainer.fit_synthetic(steps=20, batch=4)
+    assert losses[-1] < losses[0]
