@@ -31,6 +31,11 @@ class MeshRegressorConfig:
     n_betas: int = 10
     num_iterations: int = 3          # iterative error feedback steps
     temporal_kernel: int = 9
+    body: str = "smpl"               # "smpl" (24 joints) | "smplx" (55)
+
+    @property
+    def num_joints(self) -> int:
+        return 55 if self.body == "smplx" else 24
 
 
 class CropEncoder(nn.Module):
@@ -54,7 +59,7 @@ class IterativeRegressor(nn.Module):
     @nn.compact
     def __call__(self, feats):
         B = feats.shape[0]
-        npose = 24 * 6
+        npose = self.cfg.num_joints * 6
         init_pose = self.param("init_pose", nn.initializers.zeros, (1, npose))
         init_betas = self.param("init_betas", nn.initializers.zeros, (1, self.cfg.n_betas))
         init_cam = self.param("init_cam", nn.initializers.constant(0.9), (1, 3))
@@ -74,7 +79,8 @@ class IterativeRegressor(nn.Module):
             betas = betas + dec_betas(x)
             cam = cam + dec_cam(x)
         # identity-biased 6D rotations
-        id6 = jnp.tile(jnp.asarray([1, 0, 0, 0, 1, 0], jnp.float32), (24,))
+        id6 = jnp.tile(jnp.asarray([1, 0, 0, 0, 1, 0], jnp.float32),
+                       (self.cfg.num_joints,))
         return pose + id6, betas, cam
 
 
@@ -102,7 +108,7 @@ class MeshRegressorNet(nn.Module):
         if self.cfg.temporal:
             feats = TemporalSmoother(self.cfg.temporal_kernel)(feats[None])[0]
         pose6d, betas, cam = IterativeRegressor(self.cfg)(feats)
-        return pose6d.reshape(-1, 24, 6), betas, cam
+        return pose6d.reshape(-1, self.cfg.num_joints, 6), betas, cam
 
 
 MESH_METHOD_CONFIGS = {
@@ -110,9 +116,9 @@ MESH_METHOD_CONFIGS = {
     "VIBE": MeshRegressorConfig("VIBE", temporal=True),
     "MEVA": MeshRegressorConfig("MEVA", temporal=True, temporal_kernel=13),
     "ProHMR": MeshRegressorConfig("ProHMR", temporal=False),
-    "Expose": MeshRegressorConfig("Expose", temporal=False),
+    "Expose": MeshRegressorConfig("Expose", temporal=False, body="smplx"),
     "PARE": MeshRegressorConfig("PARE", temporal=False, feature_dim=768),
-    "PIXIE": MeshRegressorConfig("PIXIE", temporal=False),
+    "PIXIE": MeshRegressorConfig("PIXIE", temporal=False, body="smplx"),
     "ProHMR_MMPose": MeshRegressorConfig("ProHMR_MMPose", temporal=False),
     "HybrIK": MeshRegressorConfig("HybrIK", temporal=False, num_iterations=1),
 }
@@ -126,7 +132,9 @@ class MeshRecoveryModel:
         self.cfg = MESH_METHOD_CONFIGS[method]
         self.net = MeshRegressorNet(self.cfg)
         self.crop_hw = crop_hw
-        self.body = BodyModel()
+        # Expose/PIXIE regress the SMPL-X family (reference model_type
+        # "SMPL-X", pipeline.py:1591,1605); the rest regress SMPL
+        self.body = BodyModel(model=self.cfg.body)
         if params is None:
             dummy = jnp.zeros((2, *crop_hw, 3), jnp.float32)
             from .init_util import init_on_cpu

@@ -34,6 +34,16 @@ SMPL_JOINT_NAMES = [
 SMPL_PARENTS = np.array([-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9,
                          12, 13, 14, 16, 17, 18, 19, 20, 21])
 
+# SMPL-X kinematic tree (55 joints): body 0-21 (same as SMPL), jaw 22 and
+# eyes 23/24 (parent head=15), then 5 fingers × 3 joints per hand
+# (parents left wrist=20 / right wrist=21). Reference wrappers expose.py /
+# pixie.py emit this model family (model_type "SMPL-X", pipeline.py:1591,1605).
+SMPLX_PARENTS = np.array(
+    [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18, 19,
+     15, 15, 15,
+     20, 25, 26, 20, 28, 29, 20, 31, 32, 20, 34, 35, 20, 37, 38,
+     21, 40, 41, 21, 43, 44, 21, 46, 47, 21, 49, 50, 21, 52, 53])
+
 
 def rodrigues(rotvecs):
     """Axis-angle (..., 3) → rotation matrices (..., 3, 3), batched.
@@ -109,12 +119,14 @@ def load_smpl_npz(path: str) -> BodyModelParams:
     )
 
 
-def toy_body_model(num_vertices: int = 512, n_betas: int = 10, seed: int = 0) -> BodyModelParams:
-    """Procedural low-poly body with the exact SMPL tensor layout.
+def toy_body_model(num_vertices: int = 512, n_betas: int = 10, seed: int = 0,
+                   model: str = "smpl") -> BodyModelParams:
+    """Procedural low-poly body with the exact SMPL/SMPL-X tensor layout.
 
     Joint tree/positions approximate a T-pose human (meters); vertices sample
     around bones; skinning weights fall off with distance to the two nearest
-    joints. Deterministic.
+    joints. Deterministic. ``model="smplx"`` extends the tree with jaw/eye
+    joints and 15 finger joints per hand (55 total).
     """
     rng = np.random.default_rng(seed)
     # T-pose joint positions (x right, y up, z forward), meters
@@ -135,11 +147,28 @@ def toy_body_model(num_vertices: int = 512, n_betas: int = 10, seed: int = 0) ->
     J[20] = [-0.7, 1.38, 0]; J[21] = [0.7, 1.38, 0]
     J[22] = [-0.78, 1.38, 0]; J[23] = [0.78, 1.38, 0]
 
+    parents = SMPL_PARENTS
+    if model == "smplx":
+        parents = SMPLX_PARENTS
+        Jx = np.zeros((55, 3), np.float32)
+        Jx[:22] = J[:22]                          # body tree is shared
+        Jx[22] = J[15] + [0, -0.06, 0.06]         # jaw
+        Jx[23] = J[15] + [-0.03, 0.02, 0.08]      # eyes
+        Jx[24] = J[15] + [0.03, 0.02, 0.08]
+        # 5 fingers × 3 joints per hand, fanning past the wrists
+        for side, wrist, sign in ((25, 20, -1.0), (40, 21, 1.0)):
+            for f in range(5):
+                z = 0.02 * (f - 2)
+                for k in range(3):
+                    Jx[side + f * 3 + k] = J[wrist] + [
+                        sign * 0.035 * (k + 1), 0, z]
+        J = Jx
+
     # cylindrical bone meshes: rings of vertices along each bone connected
     # into triangles, so the toy body is a *renderable* mesh (faces) with the
     # exact SMPL tensor layout — SMPLPersonVideo rasterizes it like the
     # reference rasterizes real SMPL meshes (utils/visualization.py:93-115)
-    bones = [(j, SMPL_PARENTS[j]) for j in range(1, 24)]
+    bones = [(j, parents[j]) for j in range(1, len(parents))]
     rings = max(2, num_vertices // (len(bones) * 7))
     ring_pts = 7
     verts, faces = [], []
@@ -188,30 +217,35 @@ def toy_body_model(num_vertices: int = 512, n_betas: int = 10, seed: int = 0) ->
     J_regressor = (jr / jr.sum(axis=1, keepdims=True)).astype(np.float32)
 
     shapedirs = rng.normal(0, 0.005, (V, 3, n_betas)).astype(np.float32)
-    posedirs = rng.normal(0, 0.0005, (V, 3, 207)).astype(np.float32)
+    posedirs = rng.normal(0, 0.0005, (V, 3, (len(parents) - 1) * 9)).astype(np.float32)
     return BodyModelParams(v_template, shapedirs, posedirs, J_regressor,
-                           lbs_weights, faces=faces, model_type="smpl_toy")
+                           lbs_weights, parents=parents.copy(), faces=faces,
+                           model_type=f"{model}_toy")
 
 
 class BodyModel:
     """Batched SMPL LBS forward pass (jitted)."""
 
-    def __init__(self, params: Optional[BodyModelParams] = None, model_path: Optional[str] = None):
+    def __init__(self, params: Optional[BodyModelParams] = None,
+                 model_path: Optional[str] = None, model: str = "smpl"):
         if params is None:
-            path = model_path or os.environ.get("SMPL_MODEL_PATH", "")
-            params = load_smpl_npz(path) if path and os.path.isfile(path) else toy_body_model()
+            env = "SMPLX_MODEL_PATH" if model == "smplx" else "SMPL_MODEL_PATH"
+            path = model_path or os.environ.get(env, "")
+            params = (load_smpl_npz(path) if path and os.path.isfile(path)
+                      else toy_body_model(model=model))
         self.p = params
         self.num_vertices = len(params.v_template)
-        self.is_toy = params.model_type == "smpl_toy"
+        self.num_joints = len(params.parents)
+        self.is_toy = params.model_type.endswith("_toy")
         if self.is_toy and not BodyModel._warned_toy:
             BodyModel._warned_toy = True
             import warnings
 
             warnings.warn(
-                "SMPL_MODEL_PATH not set — using the procedural toy body "
-                "model. Downstream SMPL tables will record "
-                "model_type='smpl_toy' so outputs are never mistaken for "
-                "real SMPL geometry.", stacklevel=2)
+                "SMPL[X]_MODEL_PATH not set — using the procedural toy "
+                "body model. Downstream SMPL tables mark model_type with "
+                "'(toy)' so outputs are never mistaken for real SMPL "
+                "geometry.", stacklevel=2)
 
     _warned_toy = False
 
@@ -226,11 +260,12 @@ class BodyModel:
         W = jnp.asarray(p.lbs_weights)
         parents = p.parents
 
+        n_joints = len(parents)
         v_shaped = v_template[None] + jnp.einsum("vcb,nb->nvc", shapedirs, betas)
-        joints = jnp.einsum("jv,nvc->njc", J_reg, v_shaped)          # (B, 24, 3)
+        joints = jnp.einsum("jv,nvc->njc", J_reg, v_shaped)          # (B, J, 3)
 
-        R = pose_rotmats                                              # (B, 24, 3, 3)
-        pose_feat = (R[:, 1:] - jnp.eye(3)).reshape(B, 207)
+        R = pose_rotmats                                              # (B, J, 3, 3)
+        pose_feat = (R[:, 1:] - jnp.eye(3)).reshape(B, (n_joints - 1) * 9)
         v_posed = v_shaped + jnp.einsum("vcp,np->nvc", posedirs, pose_feat)
 
         # kinematic chain → global transforms
@@ -241,10 +276,10 @@ class BodyModel:
             return tf.at[..., 3, 3].set(1.0)
 
         transforms = [make_tf(R[:, 0], joints[:, 0])]
-        for j in range(1, 24):
+        for j in range(1, n_joints):
             local = make_tf(R[:, j], joints[:, j] - joints[:, parents[j]])
             transforms.append(jnp.einsum("nij,njk->nik", transforms[parents[j]], local))
-        A = jnp.stack(transforms, axis=1)                             # (B, 24, 4, 4)
+        A = jnp.stack(transforms, axis=1)                             # (B, J, 4, 4)
         posed_joints = A[..., :3, 3]
 
         # remove the rest-pose joint location from the skinning transform

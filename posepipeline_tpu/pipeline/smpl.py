@@ -132,9 +132,12 @@ class SMPLPerson(Computed):
             (j3[..., 1] + ty[:, None]) * sy[:, None] * (height / 2) + height / 2,
         ], axis=-1)
 
-        # 'smpl_toy' when running on the procedural body (no SMPL_MODEL_PATH)
-        # so nothing downstream mistakes toy geometry for real SMPL output
-        key["model_type"] = model.body.p.model_type
+        # reference-parity strings ("SMPL" / "SMPL-X", pipeline.py:1564-1612)
+        # with an explicit "(toy)" marker when running on the procedural body
+        # (no SMPL[X]_MODEL_PATH) so nothing downstream mistakes toy geometry
+        # for real SMPL output
+        base = "SMPL-X" if model.cfg.body == "smplx" else "SMPL"
+        key["model_type"] = base + (" (toy)" if model.body.is_toy else "")
         key["cams"] = orig_cam
         key["poses"] = np.asarray(out["poses"])
         key["betas"] = np.asarray(out["betas"])
@@ -178,10 +181,11 @@ class SMPLPersonVideo(Computed):
         betas = np.asarray(row["betas"], np.float32)
         cams = np.asarray(row["cams"], np.float32)
 
-        body = BodyModel()
-        pose_format = "6d" if poses.shape[-1] == 6 else "aa"
-        # same body model + coordinate frame the regressor projected with
+        # same body family (SMPL vs SMPL-X, by stored joint count) +
+        # coordinate frame the regressor projected with
         # (models/meshregressor.py _infer), so the stored cams apply directly
+        body = BodyModel(model="smplx" if poses.shape[1] == 55 else "smpl")
+        pose_format = "6d" if poses.shape[-1] == 6 else "aa"
         verts, _ = body(betas, poses, pose_format=pose_format)
         verts = np.asarray(verts)
         faces = body.p.faces

@@ -48,11 +48,13 @@ def test_smpl_pipeline(env):
                          smpl_method_name="HybrIK")
     assert keys and len(p.SMPLPerson & keys[0]) == 1
     row = (p.SMPLPerson & keys[0]).fetch1()
-    # toy body in tests (no SMPL_MODEL_PATH) is flagged explicitly
-    assert row["model_type"] in ("smpl", "smpl_toy")
+    # toy body in tests (no SMPL_MODEL_PATH) is flagged explicitly;
+    # strings follow the reference ("SMPL"/"SMPL-X", pipeline.py:1564-1612)
     import os
     if not os.environ.get("SMPL_MODEL_PATH"):
-        assert row["model_type"] == "smpl_toy"
+        assert row["model_type"] == "SMPL (toy)"
+    else:
+        assert row["model_type"] == "SMPL"
     assert np.asarray(row["poses"]).shape == (16, 24, 6)
     assert np.asarray(row["joints2d"]).shape == (16, 24, 2)
 

@@ -206,3 +206,27 @@ def test_hand_bbox_from_keypoints():
     x0, y0, w, h = boxes[0]
     assert x0 <= 200 and x0 + w >= 260
     np.testing.assert_allclose(boxes[1], 0)
+
+
+def test_smplx_family_for_expose_pixie():
+    """Expose/PIXIE regress the SMPL-X family: 55-joint kinematic tree with
+    jaw/eye and finger joints (reference model_type 'SMPL-X',
+    pipeline.py:1591,1605)."""
+    from posepipeline_tpu.models.meshregressor import (MESH_METHOD_CONFIGS,
+                                                       MeshRecoveryModel)
+    from posepipeline_tpu.models.smpl_body import SMPLX_PARENTS
+
+    assert MESH_METHOD_CONFIGS["Expose"].body == "smplx"
+    assert MESH_METHOD_CONFIGS["PIXIE"].body == "smplx"
+    assert len(SMPLX_PARENTS) == 55
+    # finger chains parent to the wrists, jaw/eyes to the head
+    assert SMPLX_PARENTS[25] == 20 and SMPLX_PARENTS[40] == 21
+    assert all(SMPLX_PARENTS[j] == 15 for j in (22, 23, 24))
+
+    model = MeshRecoveryModel("Expose", crop_hw=(64, 64))
+    crops = np.random.default_rng(0).normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    out = model(crops)
+    assert np.asarray(out["poses"]).shape == (2, 55, 6)
+    assert np.asarray(out["joints3d"]).shape == (2, 55, 3)
+    assert np.isfinite(np.asarray(out["joints3d"])).all()
+    assert model.body.num_joints == 55
