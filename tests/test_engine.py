@@ -312,3 +312,55 @@ def test_string_restriction_quote_translation(schema):
     Named.insert([{"name": "o'brien", "val": 1}, {"name": "plain", "val": 2}])
     assert (Named & '''name="o'brien"''').fetch1("val") == 1
     assert (Named & 'name="plain"').fetch1("val") == 2
+
+
+def test_delete_cascades_to_dependents(schema):
+    """DataJoint semantics: (Parent & key).delete() removes dependent rows
+    depth-first; delete_quick removes only the addressed rows."""
+    from posepipeline_tpu.core.engine import Computed, Manual
+
+    @schema
+    class Session(Manual):
+        definition = """
+        session_id: int
+        ---
+        note: varchar(32)
+        """
+
+    @schema
+    class Feature(Computed):
+        definition = """
+        -> Session
+        ---
+        val: int
+        """
+
+        def make(self, key):
+            self.insert1(dict(key, val=key["session_id"] * 10))
+
+    @schema
+    class Summary(Computed):
+        definition = """
+        -> Feature
+        ---
+        total: int
+        """
+
+        def make(self, key):
+            self.insert1(dict(key, total=(Feature & key).fetch1("val") + 1))
+
+    Session.insert([{"session_id": i, "note": f"s{i}"} for i in range(3)])
+    Feature.populate()
+    Summary.populate()
+    assert len(Feature()) == 3 and len(Summary()) == 3
+
+    (Session & "session_id=1").delete()
+    assert len(Session()) == 2
+    assert len(Feature()) == 2          # cascade removed the dependent row
+    assert len(Summary()) == 2          # ...two levels deep
+    assert len(Feature & "session_id=1") == 0
+
+    # delete_quick: no cascade
+    (Feature & "session_id=2").delete_quick()
+    assert len(Feature()) == 1
+    assert len(Summary & "session_id=2") == 1   # survivor (quick = no cascade)
