@@ -384,3 +384,74 @@ class AETrainer:
             if log_every and step % log_every == 0:
                 print(f"ae step {step}: loss {losses[-1]:.4f}")
         return losses
+
+
+# ---------------------------------------------------------------------------
+# Skeleton-action trainer
+# ---------------------------------------------------------------------------
+
+def synthetic_action_windows(batch: int, window: int, heatmap_hw, num_joints,
+                             rng, num_classes: int = 3):
+    """Procedural skeleton-action windows with labels: classes differ by
+    gait cadence/amplitude (0 = standing, 1 = walking, 2 = fast/vigorous).
+    Returns (volumes (B, W, h, w, J), labels (B,))."""
+    from .models.action import keypoints_to_heatmap_volume
+    from .testing import stick_figure
+
+    vols, labels = [], []
+    for b in range(batch):
+        label = int(rng.integers(num_classes))
+        cadence = (0.0, 0.25, 0.7)[label]
+        amp = (0.02, 1.0, 1.6)[label]
+        cx, cy, scale = 100.0, 100.0, 120.0
+        kp = np.zeros((window, num_joints, 3), np.float32)
+        for t in range(window):
+            j = stick_figure(cx, cy, scale, cadence * t * amp)
+            kp[t, :, :2] = j[:num_joints] * (1 + 0.1 * (amp - 1))
+            kp[t, :, 2] = 1.0
+        bbox = np.tile(np.array([40, 30, 120, 140], np.float32), (window, 1))
+        vols.append(np.asarray(keypoints_to_heatmap_volume(
+            kp, bbox, out_hw=heatmap_hw)))
+        labels.append(label)
+    return np.stack(vols), np.asarray(labels, np.int32)
+
+
+class ActionTrainer:
+    """Fit the (2+1)D action net on procedural cadence classes
+    (cross-entropy over the first ``num_classes`` labels)."""
+
+    def __init__(self, model, learning_rate: float = 1e-3):
+        self.model = model
+        self.opt = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(optax.schedules.warmup_cosine_decay_schedule(
+                0.0, learning_rate, 20, 400, learning_rate * 0.05)))
+        self.opt_state = self.opt.init(model.params)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _step(self, params, opt_state, volumes, labels):
+        def loss_fn(p):
+            logits = self.model.net.apply(p, volumes)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = self.opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def fit_synthetic(self, steps: int = 100, batch: int = 8, seed: int = 0,
+                      num_classes: int = 3, log_every: int = 0):
+        cfg = self.model.cfg
+        rng = np.random.default_rng(seed)
+        losses = []
+        for step in range(steps):
+            vols, labels = synthetic_action_windows(
+                batch, cfg.window, cfg.heatmap_hw, cfg.num_joints, rng,
+                num_classes)
+            self.model.params, self.opt_state, loss = self._step(
+                self.model.params, self.opt_state,
+                jnp.asarray(vols), jnp.asarray(labels))
+            losses.append(float(loss))
+            if log_every and step % log_every == 0:
+                print(f"action step {step}: loss {losses[-1]:.4f}")
+        return losses
