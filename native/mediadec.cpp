@@ -171,21 +171,23 @@ void mdec_downsample_i420(const uint8_t* src, int W, int H, int s,
   const uint8_t* Y = src;
   const uint8_t* U = src + (size_t)W * H;
   const uint8_t* V = U + (size_t)W * H / 4;
+  // clamp source coords: output dims may be aligned UP past H/s, W/s —
+  // the overhang replicates edge pixels instead of reading out of bounds
   uint8_t* p = dst;
   for (int r = 0; r < oh; ++r) {
-    const uint8_t* row = Y + (size_t)(r * s) * W;
-    for (int c = 0; c < ow; ++c) p[c] = row[c * s];
+    const uint8_t* row = Y + (size_t)std::min(r * s, H - 1) * W;
+    for (int c = 0; c < ow; ++c) p[c] = row[std::min(c * s, W - 1)];
     p += ow;
   }
-  const int cw = W / 2, ocw = ow / 2, och = oh / 2;
+  const int cw = W / 2, ch = H / 2, ocw = ow / 2, och = oh / 2;
   for (int r = 0; r < och; ++r) {
-    const uint8_t* row = U + (size_t)(r * s) * cw;
-    for (int c = 0; c < ocw; ++c) p[c] = row[c * s];
+    const uint8_t* row = U + (size_t)std::min(r * s, ch - 1) * cw;
+    for (int c = 0; c < ocw; ++c) p[c] = row[std::min(c * s, cw - 1)];
     p += ocw;
   }
   for (int r = 0; r < och; ++r) {
-    const uint8_t* row = V + (size_t)(r * s) * cw;
-    for (int c = 0; c < ocw; ++c) p[c] = row[c * s];
+    const uint8_t* row = V + (size_t)std::min(r * s, ch - 1) * cw;
+    for (int c = 0; c < ocw; ++c) p[c] = row[std::min(c * s, cw - 1)];
     p += ocw;
   }
 }

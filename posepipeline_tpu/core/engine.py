@@ -703,6 +703,10 @@ class QueryExpression:
         return out
 
     def _shared_tuples(self, shared: Sequence[str]) -> set:
+        if not shared:
+            # no common attributes: DataJoint semantics — a nonempty operand
+            # matches every row (the empty tuple), an empty one matches none
+            return {()} if len(self) else set()
         rows = self._rows(raw_attach=True, cols=list(shared))
         return {tuple(_norm(r.get(n)) for n in shared) for r in rows}
 

@@ -132,10 +132,16 @@ def overlay_mesh_xy(frame, x, y, z, faces, color=(120, 180, 255),
     y1 = min(int(np.ceil(y.max())) + 4, H)
     if x1 - x0 < 2 or y1 - y0 < 2:
         return frame
-    # raster at a capped window resolution, upsample to the window
+    # raster at a capped window resolution, upsample to the window.
+    # Quantize the raster size to /64 buckets: out_hw is a static jit shape,
+    # so a per-frame window size would compile a fresh rasterization program
+    # for every distinct person bbox (seconds each on a remote link); the
+    # buckets bound the program count at (256/64)^2 = 16.
     scale = min(1.0, max_raster / max(x1 - x0, y1 - y0))
     rw = max(int(round((x1 - x0) * scale)), 2)
     rh = max(int(round((y1 - y0) * scale)), 2)
+    rw = min(-(-rw // 64) * 64, max_raster)
+    rh = min(-(-rh // 64) * 64, max_raster)
     wx = (x - x0) * (rw / (x1 - x0))
     wy = (y - y0) * (rh / (y1 - y0))
     mask, shade = rasterize_mesh(

@@ -319,10 +319,23 @@ class TopDownPersonVideo(Computed):
         key = dict(key)
         keypoints = np.asarray((TopDownPerson & key).fetch1("keypoints"))
         video = (BlurredVideo & key).fetch1("output_video")
-        skel = "coco_17" if keypoints.shape[1] == 17 else (
-            "body_25" if keypoints.shape[1] == 25 else "coco_17")
-        out = _render_single_person(video, keypoints, skel,
-                                    overlay_bbox_key=key)
+        method = (TopDownMethodLookup & key).fetch1("top_down_method_name")
+        if method.startswith("Bridging_"):
+            # bridging skeletons are superset display order, not BODY_25 —
+            # use their own edge registries
+            from ..utils.bridging_superset import get_skeleton_edges
+
+            skel_name = ("coco_25" if method == "Bridging_COCO_25"
+                         else method.split("Bridging_")[1])
+            out = _render_single_person(
+                video, keypoints, skel_name, overlay_bbox_key=key,
+                limbs=tuple((int(a), int(b))
+                            for a, b in get_skeleton_edges(skel_name)))
+        else:
+            skel = "coco_17" if keypoints.shape[1] == 17 else (
+                "body_25" if keypoints.shape[1] == 25 else "coco_17")
+            out = _render_single_person(video, keypoints, skel,
+                                        overlay_bbox_key=key)
         key["output_video"] = out
         self.insert1(key)
         os.remove(video)
@@ -330,14 +343,20 @@ class TopDownPersonVideo(Computed):
 
 
 def _render_single_person(video_path, keypoints, skeleton: str, hands=None,
-                          overlay_bbox_key=None):
-    """Shared single-person overlay: skeleton + keypoints (+hands, +bbox)."""
+                          overlay_bbox_key=None, limbs=None):
+    """Shared single-person overlay: skeleton + keypoints (+hands, +bbox).
+
+    ``limbs`` (explicit edge pairs) overrides the named-skeleton lookup —
+    used by bridging skeletons whose edges live in their own registry."""
     from ..ops.render import draw_boxes, draw_keypoints, draw_skeleton
     from ..utils.skeletons import HAND_21_LIMBS, LIMBS
 
     kp = np.nan_to_num(np.asarray(keypoints, np.float32))
     J = kp.shape[1]
-    limbs = tuple(l for l in LIMBS.get(skeleton, LIMBS["coco_17"]) if max(l) < J)
+    if limbs is None:
+        limbs = tuple(l for l in LIMBS.get(skeleton, LIMBS["coco_17"]) if max(l) < J)
+    else:
+        limbs = tuple((a, b) for a, b in limbs if max(a, b) < J)
     T = kp.shape[0]
 
     bboxes = None

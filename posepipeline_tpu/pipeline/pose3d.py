@@ -113,7 +113,23 @@ class LiftingPerson(Computed):
         td_method = (TopDownMethodLookup & key).fetch1("top_down_method_name") \
             if TopDownMethodLookup & key else "MMPose"
         kp = keypoints
-        if kp.shape[1] == 25:           # BODY_25 → COCO-17 first
+        if td_method.startswith("Bridging_") and kp.shape[1] != 17:
+            # bridging skeletons are in superset display order (NOT BODY_25);
+            # map to COCO-17 by joint name so the lifter sees correct joints
+            from ..utils.bridging_superset import get_joint_names
+            from ..utils.skeletons import COCO_17
+
+            names = get_joint_names(
+                "coco_25" if td_method == "Bridging_COCO_25"
+                else td_method.split("Bridging_")[1])
+            idx = [names.index(n) for n in COCO_17 if n in names]
+            if len(idx) == 17:
+                kp = kp[:, idx]
+            else:
+                raise ValueError(
+                    f"{td_method} skeleton lacks the COCO body joints needed "
+                    "for H36M lifting; use a Bridging_* lifting method instead")
+        elif kp.shape[1] == 25:         # BODY_25 → COCO-17 first
             from ..utils.skeletons import body25_to_coco17
             kp = body25_to_coco17(kp)
         elif kp.shape[1] > 17:          # wholebody/halpe → body subset

@@ -378,8 +378,10 @@ class CenterHMRPersonVideo(Computed):
                     if not valid[i]:
                         break
                     t = min(idx, len(verts) - 1)
-                    # pj2d convention: image = (s*v + t) * scale + [w, h]/2
-                    p = cams[t, 0] * verts[t, :, :2] + cams[t, 1:3]
+                    # pj2d convention: pj2d = (s*v + t)/2 in (−0.5, 0.5),
+                    # image = pj2d * scale + [w, h]/2 — the same halving
+                    # CenterHMRPerson applies to stored keypoints (above)
+                    p = (cams[t, 0] * verts[t, :, :2] + cams[t, 1:3]) / 2.0
                     x = p[:, 0] * scale + width / 2
                     y = p[:, 1] * scale + height / 2
                     if faces is not None and np.abs(cams[t, 0]) > 1e-6:

@@ -96,7 +96,9 @@ class BandwidthOptimizedPoseEstimator:
         # det frames are frames[:, ::s, ::s] cropped to a /32-aligned shape
         self.det_stride = max(int(round(1.0 / det_scale)), 1)
         s = self.det_stride
-        self.det_hw = ((input_hw[0] // s) // 32 * 32, (input_hw[1] // s) // 32 * 32)
+        # align UP so detection keeps the full field of view (see I420 path)
+        self.det_hw = (max(32, -(-(input_hw[0] // s) // 32) * 32),
+                       max(32, -(-(input_hw[1] // s) // 32) * 32))
         self.scale_y = float(s)
         self.scale_x = float(s)
         # detect on every det_interval-th frame; boxes propagate to neighbors
@@ -274,8 +276,12 @@ class I420PoseEstimator:
         self.input_hw = input_hw
         s = max(int(round(1.0 / det_scale)), 1)
         self.det_stride = s
-        # detection dims: /32-aligned for the conv net (and even for chroma)
-        self.det_hw = ((H // s) // 32 * 32, (W // s) // 32 * 32)
+        # detection dims: /32-aligned for the conv net (and even for chroma).
+        # Align UP (edge rows replicate in the downsample) — flooring would
+        # silently crop up to 31*s full-res pixels of field of view from
+        # detection (1080p @ s=4: the bottom 56 rows)
+        self.det_hw = (max(32, -(-(H // s) // 32) * 32),
+                       max(32, -(-(W // s) // 32) * 32))
         self.det_interval = max(int(det_interval), 1)
         self.detector = detector or PersonDetector(input_hw=self.det_hw)
         self.topdown = topdown or get_topdown_model("MMPose")
@@ -390,6 +396,10 @@ class NativeStreamingRunner:
                     results[vid]["keypoints"].append(kp[:n])
             except Exception as e:  # noqa: BLE001 - surfaced in main thread
                 worker_error.append(e)
+                # unblock the producer (buffer waits) like worker errors do;
+                # the worker's bounded put sees worker_error and aborts
+                for _ in range(self.num_buffers):
+                    free_bufs.put(-1)
 
         def process(entry):
             vid, bidx, n, fut = entry
@@ -404,7 +414,15 @@ class NativeStreamingRunner:
             free_bufs.put(bidx)
             fut2 = est._pose_yuv(est.topdown.params, jnp.asarray(crops),
                                  jnp.asarray(fixed))
-            pose_q.put((vid, n, fut2, boxes, scores))
+            # bounded put that aborts if the fetcher died (otherwise a full
+            # queue with no consumer deadlocks the whole pipeline)
+            while True:
+                try:
+                    pose_q.put((vid, n, fut2, boxes, scores), timeout=1.0)
+                    break
+                except queue.Full:
+                    if worker_error:
+                        raise worker_error[0]
 
         def worker():
             try:
@@ -429,6 +447,16 @@ class NativeStreamingRunner:
         try:
             for vid, path in enumerate(video_paths):
                 reader = media.NativeVideoReader(path)
+                # the decode buffers and compiled programs are sized for
+                # est.input_hw — a larger video would overflow the buffer in
+                # the C++ decoder, a smaller one would silently misalign the
+                # I420 planes. Refuse loudly instead.
+                if (reader.height, reader.width) != (H, W):
+                    reader.close()
+                    raise ValueError(
+                        f"{path!r} is {reader.width}x{reader.height} but this "
+                        f"runner's estimator is compiled for {W}x{H}; run "
+                        "same-resolution videos per runner (group by size)")
                 try:
                     while not worker_error:
                         bidx = free_bufs.get()
@@ -459,7 +487,16 @@ class NativeStreamingRunner:
         finally:
             work_q.put(None)
             wt.join()
-            pose_q.put(None)
+            # deliver the fetcher sentinel even if it died with a full queue
+            while True:
+                try:
+                    pose_q.put_nowait(None)
+                    break
+                except queue.Full:
+                    try:
+                        pose_q.get_nowait()
+                    except queue.Empty:
+                        pass
             ft.join()
         if worker_error:
             raise worker_error[0]

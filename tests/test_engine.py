@@ -364,3 +364,27 @@ def test_delete_cascades_to_dependents(schema):
     (Feature & "session_id=2").delete_quick()
     assert len(Feature()) == 1
     assert len(Summary & "session_id=2") == 1   # survivor (quick = no cascade)
+
+
+def test_restriction_by_disjoint_expression(schema):
+    """Restricting by an expression sharing no attributes: nonempty operand
+    keeps all rows, empty operand keeps none (DataJoint universal-set rule)."""
+    from posepipeline_tpu.core.engine import Manual
+
+    @schema
+    class Left(Manual):
+        definition = """
+        left_id: int
+        """
+
+    @schema
+    class Right(Manual):
+        definition = """
+        right_id: int
+        """
+
+    Left.insert([{"left_id": i} for i in range(3)])
+    assert len(Left & Right) == 0          # Right empty -> no match
+    Right.insert1({"right_id": 9})
+    assert len(Left & Right) == 3          # Right nonempty -> all match
+    assert len(Left - Right) == 0          # antijoin mirror

@@ -193,3 +193,55 @@ def test_native_runner_end_to_end(clip):
     assert res[0]["keypoints2d"].shape == (12, 17, 3)
     assert np.isfinite(res[0]["keypoints2d"]).all()
     assert res[0]["boxes"].shape == (12, 4)
+
+
+def test_native_runner_rejects_mismatched_resolution(clip):
+    """Mixed-resolution inputs must fail loudly (the decode buffers are
+    sized for one resolution; silently decoding a larger video would be an
+    out-of-bounds write in the C++ decoder)."""
+    from posepipeline_tpu.models.detector import DetectorConfig, PersonDetector
+    from posepipeline_tpu.models.topdown import TopDownConfig, TopDownModel
+    from posepipeline_tpu.runtime.stream import (I420PoseEstimator,
+                                                 NativeStreamingRunner)
+    from posepipeline_tpu.testing import synthetic_video
+
+    det = PersonDetector(DetectorConfig(widths=(8, 16, 32, 64)),
+                         input_hw=(96, 160))
+    td = TopDownModel(TopDownConfig("tiny2", num_joints=17, input_hw=(64, 48),
+                                    heatmap_hw=(16, 12), dim=32, depth=1,
+                                    num_heads=2, head_features=32))
+    est = I420PoseEstimator(detector=det, topdown=td,
+                            input_hw=(240, 320), det_scale=0.5)
+    runner = NativeStreamingRunner(estimator=est, chunk_frames=8)
+    other = synthetic_video(num_frames=4, width=640, height=480, seed=9)
+    with pytest.raises(ValueError, match="compiled for"):
+        runner.run([other.path], lift=False)
+    import os
+    os.remove(other.path)
+
+
+def test_downsample_full_fov_alignment(clip):
+    """Detection dims align UP (edge replication), never cropping field of
+    view; tiny videos still get a valid /32 det frame; the clamped C++
+    downsample fills the overhang with replicated edge pixels."""
+    from posepipeline_tpu.native import media
+
+    def det_hw(H, W, s):
+        return (max(32, -(-(H // s) // 32) * 32),
+                max(32, -(-(W // s) // 32) * 32))
+
+    # 1080p at stride 4: 270 rows must round UP to 288, not down to 256
+    assert det_hw(1080, 1920, 4) == (288, 480)
+    assert det_hw(120, 160, 4) == (32, 64)   # tiny video: floor would be 0
+
+    H, W, s = 240, 320, 4
+    oh, ow = det_hw(H, W, s)
+    frames = np.random.randint(0, 255, (2, H * 3 // 2, W), np.uint8)
+    out = media.downsample_batch(frames, W, H, s, (ow, oh))
+    assert out.shape == (2, oh * 3 // 2, ow)
+    # in-bounds region is the strided slice; overhang replicates the edge
+    y = out[0][:oh]
+    src_y = frames[0][:H]
+    np.testing.assert_array_equal(y[: H // s, : W // s], src_y[::s, ::s])
+    np.testing.assert_array_equal(y[H // s:, : W // s],
+                                  np.tile(src_y[-1, ::s], (oh - H // s, 1)))
