@@ -206,3 +206,70 @@ def synthetic_multi_frames(batch: int, height: int = 128, width: int = 160,
                          thickness=max(2, int(scale / 40)))
             kps[b, p] = j
     return frames, kps
+
+
+HAND_SKELETON = [(0, 1), (1, 2), (2, 3), (3, 4),
+                 (0, 5), (5, 6), (6, 7), (7, 8),
+                 (0, 9), (9, 10), (10, 11), (11, 12),
+                 (0, 13), (13, 14), (14, 15), (15, 16),
+                 (0, 17), (17, 18), (18, 19), (19, 20)]
+
+
+def stick_hand(cx: float, cy: float, scale: float, curl: float,
+               rot: float) -> np.ndarray:
+    """21-joint hand (OpenPose/COCO hand convention: wrist + 5×4 finger
+    chain) at pixel center, ``scale`` ≈ hand length, ``curl`` flexes
+    fingers, ``rot`` rotates the whole hand."""
+    j = np.zeros((21, 2))
+    j[0] = (0.0, 0.45)                       # wrist at the bottom
+    angles = np.deg2rad([-55, -25, 0, 25, 50])   # thumb..pinky spread
+    lengths = (0.5, 0.95, 1.0, 0.95, 0.8)
+    for f in range(5):
+        a = angles[f]
+        seg = lengths[f] * scale / 4.0
+        base = np.array([np.sin(a), -np.cos(a)])
+        pos = np.array(j[0]) * scale
+        ang = a
+        for k in range(4):
+            ang += curl * 0.35                # progressive flexion
+            step = seg * np.array([np.sin(ang), -np.cos(ang)])
+            pos = pos + step
+            j[1 + f * 4 + k] = pos / scale
+    pts = j * scale
+    c, s = np.cos(rot), np.sin(rot)
+    R = np.array([[c, -s], [s, c]])
+    pts = pts @ R.T
+    pts[:, 0] += cx
+    pts[:, 1] += cy
+    return pts
+
+
+def synthetic_hand_frames(batch: int, height: int = 128, width: int = 128,
+                          rng: Optional[np.random.Generator] = None):
+    """In-memory hand-crop training frames with exact 21-joint GT.
+
+    Returns (frames (B, H, W, 3) uint8, boxes (B, 4) TLHW, keypoints
+    (B, 21, 2)) — the hand analogue of synthetic_frames."""
+    rng = rng or np.random.default_rng(0)
+    frames = np.full((batch, height, width, 3), 16, np.uint8)
+    boxes = np.zeros((batch, 4), np.float32)
+    kps = np.zeros((batch, 21, 2), np.float32)
+    for b in range(batch):
+        scale = rng.uniform(0.4, 0.7) * height
+        cx = rng.uniform(0.35, 0.65) * width
+        cy = rng.uniform(0.45, 0.7) * height
+        j = stick_hand(cx, cy, scale, curl=rng.uniform(0, 1.1),
+                       rot=rng.uniform(-0.8, 0.8))
+        color = _PERSON_COLORS[b % len(_PERSON_COLORS)]
+        th = max(2, int(scale / 30))
+        for a, bb in HAND_SKELETON:
+            cv2.line(frames[b], tuple(np.round(j[a]).astype(int)),
+                     tuple(np.round(j[bb]).astype(int)), color, th)
+        for (x, y) in j:
+            cv2.circle(frames[b], (int(round(x)), int(round(y))), th, color, -1)
+        kps[b] = j
+        margin = max(4.0, scale / 15.0)
+        mins = j.min(0) - margin
+        maxs = j.max(0) + margin
+        boxes[b] = [mins[0], mins[1], maxs[0] - mins[0], maxs[1] - mins[1]]
+    return frames, boxes, kps

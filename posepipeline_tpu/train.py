@@ -158,15 +158,19 @@ class TopDownTrainer:
         return optax.apply_updates(params, updates), opt_state, loss
 
     def fit_synthetic(self, steps: int = 200, batch: int = 8, seed: int = 0,
-                      log_every: int = 0):
+                      log_every: int = 0, frame_fn=None, frame_hw=(192, 256)):
+        """Train on procedural frames. ``frame_fn(batch, h, w, rng)`` must
+        return (frames, TLHW boxes, keypoints (B, J, 2)); defaults to the
+        body fixture — pass testing.synthetic_hand_frames for hand nets."""
         from .ops.boxes import fix_aspect_ratio
         from .testing import synthetic_frames
 
+        frame_fn = frame_fn or synthetic_frames
         cfg = self.model.cfg
         rng = np.random.default_rng(seed)
         losses = []
         for step in range(steps):
-            frames, boxes, kps = synthetic_frames(batch, 192, 256, rng)
+            frames, boxes, kps = frame_fn(batch, frame_hw[0], frame_hw[1], rng)
             fixed = np.asarray(fix_aspect_ratio(
                 boxes, dilate=1.2, ratio=cfg.input_hw[1] / cfg.input_hw[0]))
             crops = crop_resize_matmul(jnp.asarray(frames, jnp.float32),
