@@ -36,13 +36,28 @@ def main():
     from posepipeline_tpu.testing import synthetic_video
 
     # multi-video 1080p clinical-style workload (≥3 videos × ≥300 frames so
-    # decode/compute overlap is actually exercised across video boundaries)
+    # decode/compute overlap is actually exercised across video boundaries).
+    # Rendering 1080p fixture clips costs minutes of single-core cv2 work, so
+    # they are cached under /tmp keyed by the fixture-generator source hash —
+    # the timed region is unaffected (decode reads the same bytes either way).
     height, width = 1080, 1920
     num_frames = int(os.environ.get("BENCH_FRAMES", "320"))
     num_videos = int(os.environ.get("BENCH_VIDEOS", "3"))
-    clips = [synthetic_video(num_frames=num_frames, width=width, height=height,
-                             num_people=1, seed=i) for i in range(num_videos)]
-    paths = [c.path for c in clips]
+    import hashlib
+
+    import posepipeline_tpu.testing as _testing
+    with open(_testing.__file__, "rb") as f:
+        gen_hash = hashlib.sha256(f.read()).hexdigest()[:12]
+    cache_dir = os.path.join("/tmp", f"ppt_bench_clips_{gen_hash}")
+    os.makedirs(cache_dir, exist_ok=True)
+    paths = []
+    for i in range(num_videos):
+        p = os.path.join(cache_dir,
+                         f"clip_{width}x{height}_{num_frames}_{i}.mp4")
+        if not os.path.exists(p):
+            synthetic_video(num_frames=num_frames, width=width, height=height,
+                            num_people=1, seed=i, path=p)
+        paths.append(p)
     lifter = LiftingModel("GastNet")
 
     if media.available() and not os.environ.get("BENCH_CV2_PATH"):
@@ -50,14 +65,17 @@ def main():
                                                      NativeStreamingRunner)
 
         chunk = int(os.environ.get("BENCH_CHUNK", "32"))
-        est = I420PoseEstimator(input_hw=(height, width))
+        det_interval = int(os.environ.get("BENCH_DET_INTERVAL", "4"))
+        buffers = int(os.environ.get("BENCH_BUFFERS", "6"))
+        est = I420PoseEstimator(input_hw=(height, width),
+                                det_interval=det_interval)
         runner = NativeStreamingRunner(estimator=est, lifter=lifter,
-                                       chunk_frames=chunk)
+                                       chunk_frames=chunk, num_buffers=buffers)
         # warmup: compile the detect/pose programs at bench shapes + decode
         # one video once (first decode of a freshly-encoded file pays cold
         # file-cache costs; clinical videos are not freshly encoded)
         warm = NativeStreamingRunner(estimator=est, lifter=lifter,
-                                     chunk_frames=chunk)
+                                     chunk_frames=chunk, num_buffers=buffers)
         warm.run([paths[0]], lift=True)
         for p in paths[1:]:
             r = media.NativeVideoReader(p)
@@ -131,8 +149,7 @@ def main():
         with open("SCALE.json", "w") as f:
             json.dump(entry, f, indent=2)
 
-    for p in paths:
-        os.remove(p)
+    # cached fixture clips stay for the next run (keyed by generator hash)
 
 
 if __name__ == "__main__":

@@ -195,47 +195,71 @@ void mdec_downsample_i420(const uint8_t* src, int W, int H, int s,
 namespace {
 // Bilinear resize of a sub-rectangle of one plane into a sub-rectangle of an
 // output plane; out-of-source area is left untouched (caller zeroes).
-void resize_plane_region(const uint8_t* src, int sw, int sh,
+//
+// Separable fixed-point implementation: the horizontal pass gathers each
+// needed source row once into a uint16 scratch row (cached — consecutive
+// output rows share source rows on upscale), the vertical pass is a
+// contiguous 2-tap blend the compiler vectorizes. 8-bit fixed-point weights
+// match cv2 INTER_LINEAR's own fixed-point rounding class.
+// ``sstride`` is the source row stride in bytes (>= sw; lets the same kernel
+// read AVFrame planes in place, linesize-aware, without an I420 repack).
+void resize_plane_region(const uint8_t* src, int sw, int sh, int sstride,
                          float x0, float y0, float bw, float bh,
                          uint8_t* dst, int dw, int /*dh*/,
                          int ox0, int oy0, int ox1, int oy1,
                          int full_ow, int full_oh) {
   const float sx = bw / full_ow, sy = bh / full_oh;
-  // x-axis sample coordinates are row-invariant: precompute (ix, wx) per
-  // output column once instead of per pixel (≈2× on the crop hot path —
-  // the divide/clamp chain was most of the inner-loop work)
   const int ncols = ox1 - ox0;
-  if (ncols <= 0) return;
+  if (ncols <= 0 || oy1 <= oy0) return;
   static thread_local std::vector<int> ix_vec;
-  static thread_local std::vector<float> wx_vec;
+  static thread_local std::vector<uint16_t> wx_vec;
+  static thread_local std::vector<uint16_t> hrow_vec;  // 2 cached h-passed rows
   ix_vec.resize(ncols);
   wx_vec.resize(ncols);
+  hrow_vec.resize(2 * (size_t)ncols);
   int* ix_tab = ix_vec.data();
-  float* wx_tab = wx_vec.data();
+  uint16_t* wx_tab = wx_vec.data();
+  uint16_t* hrow[2] = {hrow_vec.data(), hrow_vec.data() + ncols};
+  int hrow_src[2] = {-1, -1};
   const int nc = ncols;
   for (int k = 0; k < nc; ++k) {
     float fx = x0 + (ox0 + k + 0.5f) * sx - 0.5f;
     int ix = (int)fx; float wx = fx - ix;
     if (fx < 0) { ix = 0; wx = 0; }
     if (ix >= sw - 1) { ix = sw - 2 < 0 ? 0 : sw - 2; wx = 1; }
-    ix_tab[k] = ix; wx_tab[k] = wx;
+    ix_tab[k] = ix;
+    wx_tab[k] = (uint16_t)(wx * 256.0f + 0.5f);
   }
+  // horizontal pass for one source row -> uint16 (value * 256)
+  auto hpass = [&](int iy, int slot) {
+    const uint8_t* r = src + (size_t)iy * sstride;
+    uint16_t* o = hrow[slot];
+    for (int k = 0; k < nc; ++k) {
+      const int ix = ix_tab[k];
+      const uint16_t wx = wx_tab[k];
+      o[k] = (uint16_t)((256 - wx) * r[ix] + wx * r[ix + 1]);
+    }
+    hrow_src[slot] = iy;
+  };
+  auto get_row = [&](int iy) -> const uint16_t* {
+    if (hrow_src[0] == iy) return hrow[0];
+    if (hrow_src[1] == iy) return hrow[1];
+    int slot = (hrow_src[0] < hrow_src[1]) ? 0 : 1;  // evict older row
+    hpass(iy, slot);
+    return hrow[slot];
+  };
   for (int r = oy0; r < oy1; ++r) {
     float fy = y0 + (r + 0.5f) * sy - 0.5f;
     int iy = (int)fy; float wy = fy - iy;
     if (fy < 0) { iy = 0; wy = 0; }
     if (iy >= sh - 1) { iy = sh - 2 < 0 ? 0 : sh - 2; wy = 1; }
-    const uint8_t* r0 = src + (size_t)iy * sw;
-    const uint8_t* r1 = src + (size_t)std::min(iy + 1, sh - 1) * sw;
+    const int iy1 = std::min(iy + 1, sh - 1);
+    const uint16_t* t0 = get_row(iy);
+    const uint16_t* t1 = get_row(iy1);
     uint8_t* o = dst + (size_t)r * dw + ox0;
-    const float w1 = wy, w0 = 1.0f - wy;
-    for (int k = 0; k < nc; ++k) {
-      const int ix = ix_tab[k];
-      const float wx = wx_tab[k];
-      float top = (1 - wx) * r0[ix] + wx * r0[ix + 1];
-      float bot = (1 - wx) * r1[ix] + wx * r1[ix + 1];
-      o[k] = (uint8_t)(w0 * top + w1 * bot + 0.5f);
-    }
+    const uint32_t w1 = (uint32_t)(wy * 256.0f + 0.5f), w0 = 256 - w1;
+    for (int k = 0; k < nc; ++k)  // contiguous: vectorizes
+      o[k] = (uint8_t)((w0 * t0[k] + w1 * t1[k] + (1u << 15)) >> 16);
   }
 }
 }  // namespace
@@ -266,12 +290,12 @@ void mdec_crop_i420(const uint8_t* src, int W, int H,
   uint8_t* dY = dst;
   uint8_t* dU = dst + (size_t)tw * th;
   uint8_t* dV = dU + (size_t)tw * th / 4;
-  resize_plane_region(Y, W, H, bx, by, bw, bh, dY, tw, th,
+  resize_plane_region(Y, W, H, W, bx, by, bw, bh, dY, tw, th,
                       ox0, oy0, ox1, oy1, tw, th);
-  resize_plane_region(U, W / 2, H / 2, bx / 2, by / 2, bw / 2, bh / 2,
+  resize_plane_region(U, W / 2, H / 2, W / 2, bx / 2, by / 2, bw / 2, bh / 2,
                       dU, tw / 2, th / 2, ox0 / 2, oy0 / 2, ox1 / 2, oy1 / 2,
                       tw / 2, th / 2);
-  resize_plane_region(V, W / 2, H / 2, bx / 2, by / 2, bw / 2, bh / 2,
+  resize_plane_region(V, W / 2, H / 2, W / 2, bx / 2, by / 2, bw / 2, bh / 2,
                       dV, tw / 2, th / 2, ox0 / 2, oy0 / 2, ox1 / 2, oy1 / 2,
                       tw / 2, th / 2);
 }
@@ -300,6 +324,139 @@ void mdec_downsample_batch_i420(const uint8_t* frames, int n_out, int W,
   for (int i = 0; i < n_out; ++i)
     mdec_downsample_i420(frames + fsz * (size_t)i * interval, W, H, s,
                          dst + osz * i, ow, oh);
+}
+
+// ---------------------------------------------------------------------------
+// Zero-copy decode: ref-counted AVFrame handles.
+//
+// mdec_read copies every decoded frame into a packed I420 block — ~3 MB of
+// memcpy per 1080p frame that exists only so later host ops (downsample,
+// crop) have a known layout. The handle API skips it: decode returns
+// av_frame_clone'd references into the decoder's own buffer pool, and the
+// downsample/crop ops read the planes in place (linesize-aware). The frame
+// pool grows to cover however many handles the caller holds (the streaming
+// runner bounds this with its in-flight chunk semaphore).
+// ---------------------------------------------------------------------------
+
+// Decode up to max_frames, storing one AVFrame* handle per frame.
+// Returns count; 0 = end of stream; -1 = error. Non-yuv420p sources are
+// converted through swscale into freshly allocated frames (rare path).
+int mdec_read_refs(void* h, void** out_handles, int max_frames) {
+  Decoder* d = (Decoder*)h;
+  const int W = d->width, H = d->height;
+  int n = 0;
+  while (n < max_frames) {
+    int r = avcodec_receive_frame(d->codec, d->frame);
+    if (r == 0) {
+      if (d->frame->format == AV_PIX_FMT_YUV420P ||
+          d->frame->format == AV_PIX_FMT_YUVJ420P) {
+        out_handles[n] = av_frame_clone(d->frame);
+      } else {
+        if (!d->sws) {
+          d->sws = sws_getContext(W, H, (AVPixelFormat)d->frame->format,
+                                  W, H, AV_PIX_FMT_YUV420P,
+                                  SWS_BILINEAR, nullptr, nullptr, nullptr);
+        }
+        AVFrame* cf = av_frame_alloc();
+        cf->format = AV_PIX_FMT_YUV420P;
+        cf->width = W; cf->height = H;
+        av_frame_get_buffer(cf, 32);
+        sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, H,
+                  cf->data, cf->linesize);
+        out_handles[n] = cf;
+      }
+      av_frame_unref(d->frame);
+      ++n;
+      continue;
+    }
+    if (r == AVERROR_EOF) break;
+    if (r != AVERROR(EAGAIN)) return n > 0 ? n : -1;
+    if (d->draining) continue;
+    int pr = av_read_frame(d->fmt, d->pkt);
+    if (pr < 0) {
+      avcodec_send_packet(d->codec, nullptr);
+      d->draining = true;
+      continue;
+    }
+    if (d->pkt->stream_index == d->stream_index)
+      avcodec_send_packet(d->codec, d->pkt);
+    av_packet_unref(d->pkt);
+  }
+  return n;
+}
+
+void mdec_release_refs(void** handles, int n) {
+  for (int i = 0; i < n; ++i) {
+    AVFrame* f = (AVFrame*)handles[i];
+    if (f) av_frame_free(&f);
+    handles[i] = nullptr;
+  }
+}
+
+// Crop box (x, y, w, h) out of a held frame, bilinear-resized to (tw, th)
+// I420 — same semantics as mdec_crop_i420, reading planes in place.
+static void crop_ref_one(const AVFrame* f, int W, int H,
+                         float bx, float by, float bw, float bh,
+                         uint8_t* dst, int tw, int th) {
+  std::memset(dst, 0, (size_t)tw * th * 3 / 2);
+  if (bw <= 0 || bh <= 0) return;
+  float xi0 = std::max(bx, 0.0f), yi0 = std::max(by, 0.0f);
+  float xi1 = std::min(bx + bw, (float)W), yi1 = std::min(by + bh, (float)H);
+  if (xi1 <= xi0 || yi1 <= yi0) return;
+  int ox0 = (int)((xi0 - bx) / bw * tw + 0.5f);
+  int ox1 = (int)((xi1 - bx) / bw * tw + 0.5f);
+  int oy0 = (int)((yi0 - by) / bh * th + 0.5f);
+  int oy1 = (int)((yi1 - by) / bh * th + 0.5f);
+  ox0 = std::max(0, ox0); oy0 = std::max(0, oy0);
+  ox1 = std::min(tw, ox1); oy1 = std::min(th, oy1);
+  if (ox1 <= ox0 || oy1 <= oy0) return;
+  uint8_t* dY = dst;
+  uint8_t* dU = dst + (size_t)tw * th;
+  uint8_t* dV = dU + (size_t)tw * th / 4;
+  resize_plane_region(f->data[0], W, H, f->linesize[0],
+                      bx, by, bw, bh, dY, tw, th, ox0, oy0, ox1, oy1, tw, th);
+  resize_plane_region(f->data[1], W / 2, H / 2, f->linesize[1],
+                      bx / 2, by / 2, bw / 2, bh / 2,
+                      dU, tw / 2, th / 2, ox0 / 2, oy0 / 2, ox1 / 2, oy1 / 2,
+                      tw / 2, th / 2);
+  resize_plane_region(f->data[2], W / 2, H / 2, f->linesize[2],
+                      bx / 2, by / 2, bw / 2, bh / 2,
+                      dV, tw / 2, th / 2, ox0 / 2, oy0 / 2, ox1 / 2, oy1 / 2,
+                      tw / 2, th / 2);
+}
+
+void mdec_crop_refs(void** handles, int n, int W, int H, const float* boxes,
+                    uint8_t* dst, int tw, int th) {
+  const size_t csz = (size_t)tw * th * 3 / 2;
+  for (int i = 0; i < n; ++i) {
+    const float* b = boxes + 4 * i;
+    crop_ref_one((const AVFrame*)handles[i], W, H, b[0], b[1], b[2], b[3],
+                 dst + csz * i, tw, th);
+  }
+}
+
+// Strided downsample of every ``interval``-th held frame (linesize-aware
+// twin of mdec_downsample_batch_i420).
+void mdec_downsample_refs(void** handles, int n_out, int W, int H, int s,
+                          int interval, uint8_t* dst, int ow, int oh) {
+  const size_t osz = (size_t)ow * oh * 3 / 2;
+  for (int i = 0; i < n_out; ++i) {
+    const AVFrame* f = (const AVFrame*)handles[(size_t)i * interval];
+    uint8_t* p = dst + osz * i;
+    for (int r = 0; r < oh; ++r) {
+      const uint8_t* row = f->data[0] + (size_t)std::min(r * s, H - 1) * f->linesize[0];
+      for (int c = 0; c < ow; ++c) p[c] = row[std::min(c * s, W - 1)];
+      p += ow;
+    }
+    const int cw = W / 2, ch = H / 2, ocw = ow / 2, och = oh / 2;
+    for (int pl = 1; pl <= 2; ++pl) {
+      for (int r = 0; r < och; ++r) {
+        const uint8_t* row = f->data[pl] + (size_t)std::min(r * s, ch - 1) * f->linesize[pl];
+        for (int c = 0; c < ocw; ++c) p[c] = row[std::min(c * s, cw - 1)];
+        p += ocw;
+      }
+    }
+  }
 }
 
 }  // extern "C"

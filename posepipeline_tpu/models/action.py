@@ -31,6 +31,7 @@ DEFAULT_LABEL_MAP = [
 
 @dataclass(frozen=True)
 class ActionConfig:
+    name: str = "PoseC3D"
     num_classes: int = len(DEFAULT_LABEL_MAP)
     num_joints: int = 17
     heatmap_hw: Tuple[int, int] = (56, 56)
@@ -86,13 +87,25 @@ class Factorized3DConvNet(nn.Module):
 class ActionModel:
     """Sliding-window skeleton action recognition."""
 
-    def __init__(self, cfg: ActionConfig = ActionConfig(), params=None, seed: int = 0):
+    def __init__(self, cfg: ActionConfig = ActionConfig(), params=None, seed: int = 0,
+                 params_path=None):
         self.cfg = cfg
         self.net = Factorized3DConvNet(cfg)
+        self.weights_loaded = False
         if params is None:
             dummy = jnp.zeros((1, cfg.window, *cfg.heatmap_hw, cfg.num_joints), jnp.float32)
             from .init_util import init_on_cpu
             params = init_on_cpu(self.net.init, jax.random.PRNGKey(seed), dummy)
+            from .params_io import (commit_to_default, load_params,
+                                    merge_params, registry_weights_path)
+
+            path = params_path or registry_weights_path("action", cfg.name)
+            if path:
+                params = commit_to_default(
+                    merge_params(params, load_params(path)))
+                self.weights_loaded = True
+        else:
+            self.weights_loaded = True
         self.params = params
 
     @functools.partial(jax.jit, static_argnums=0)

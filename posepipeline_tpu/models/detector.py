@@ -88,13 +88,26 @@ class PersonDetector:
     """Bundled detector: frames (B, H, W, 3) uint8 → (boxes, scores)."""
 
     def __init__(self, cfg: DetectorConfig = DetectorConfig(), params=None, seed: int = 0,
-                 input_hw: Tuple[int, int] = (480, 640)):
+                 input_hw: Tuple[int, int] = (480, 640), params_path=None):
         self.cfg = cfg
         self.net = CenterDetNet(cfg)
+        self.weights_loaded = False
         if params is None:
             dummy = jnp.zeros((1, *input_hw, 3), jnp.float32)
             from .init_util import init_on_cpu
             params = init_on_cpu(self.net.init, jax.random.PRNGKey(seed), dummy)
+            # registry weights: $PPT_WEIGHTS_DIR/detector__<name>.npz
+            # (trained by scripts/eval_accuracy.py / train_all_slots.py)
+            from .params_io import (commit_to_default, load_params,
+                                    merge_params, registry_weights_path)
+
+            path = params_path or registry_weights_path("detector", cfg.name)
+            if path:
+                params = commit_to_default(
+                    merge_params(params, load_params(path)))
+                self.weights_loaded = True
+        else:
+            self.weights_loaded = True
         self.params = params
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -126,14 +139,40 @@ class AppearanceEncoder(nn.Module):
         return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
 
 
+class FaceDetector(PersonDetector):
+    """Face detector sharing the CenterDet architecture — the privacy
+    fallback for frames whose person the pose net misses (the role of the
+    reference's MTCNN path, wrappers/facenet.py:9-71). Registry slot:
+    ``detector__FaceDet.npz``."""
+
+    def __init__(self, params=None, seed: int = 0,
+                 input_hw: Tuple[int, int] = (240, 320), params_path=None):
+        super().__init__(DetectorConfig(name="FaceDet", max_detections=8,
+                                        widths=(16, 32, 64, 128)),
+                         params=params, seed=seed, input_hw=input_hw,
+                         params_path=params_path)
+
+
 class ReIDModel:
-    def __init__(self, params=None, seed: int = 0, crop_hw: Tuple[int, int] = (128, 64)):
+    def __init__(self, params=None, seed: int = 0, crop_hw: Tuple[int, int] = (128, 64),
+                 params_path=None):
         self.net = AppearanceEncoder()
         self.crop_hw = crop_hw
+        self.weights_loaded = False
         if params is None:
             dummy = jnp.zeros((1, *crop_hw, 3), jnp.float32)
             from .init_util import init_on_cpu
             params = init_on_cpu(self.net.init, jax.random.PRNGKey(seed), dummy)
+            from .params_io import (commit_to_default, load_params,
+                                    merge_params, registry_weights_path)
+
+            path = params_path or registry_weights_path("reid", "AppearanceEncoder")
+            if path:
+                params = commit_to_default(
+                    merge_params(params, load_params(path)))
+                self.weights_loaded = True
+        else:
+            self.weights_loaded = True
         self.params = params
 
     @functools.partial(jax.jit, static_argnums=0)

@@ -32,6 +32,15 @@ class MeshRegressorConfig:
     num_iterations: int = 3          # iterative error feedback steps
     temporal_kernel: int = 9
     body: str = "smpl"               # "smpl" (24 joints) | "smplx" (55)
+    # HybrIK slot: predict 3D joint locations directly and recover the pose
+    # by analytic IK (models/smpl_fitting.analytic_ik) instead of trusting
+    # the 6D head — the reference method's structure (wrappers/hybrik.py:130)
+    joint_head: bool = False
+    # ProHMR slots: refine the regressed pose against detected 2D keypoints
+    # with the jitted fitting program (models/smpl_fitting.KeypointFitter),
+    # the reference's keypoint-conditioned optimization
+    # (wrappers/prohmr.py:174-284)
+    keypoint_fitting: bool = False
 
     @property
     def num_joints(self) -> int:
@@ -103,24 +112,34 @@ class MeshRegressorNet(nn.Module):
 
     @nn.compact
     def __call__(self, crops_seq):
-        """(T, H, W, 3) normalized crops → (pose6d (T, 24, 6), betas, cam)."""
+        """(T, H, W, 3) normalized crops → (pose6d (T, 24, 6), betas, cam
+        [, joint offsets (T, 24, 3) when cfg.joint_head])."""
         feats = CropEncoder(self.cfg.feature_dim)(crops_seq)
         if self.cfg.temporal:
             feats = TemporalSmoother(self.cfg.temporal_kernel)(feats[None])[0]
         pose6d, betas, cam = IterativeRegressor(self.cfg)(feats)
-        return pose6d.reshape(-1, self.cfg.num_joints, 6), betas, cam
+        pose6d = pose6d.reshape(-1, self.cfg.num_joints, 6)
+        if self.cfg.joint_head:
+            delta = nn.Dense(self.cfg.num_joints * 3,
+                             kernel_init=nn.initializers.normal(0.01),
+                             name="joint_head")(feats)
+            return pose6d, betas, cam, delta.reshape(-1, self.cfg.num_joints, 3)
+        return pose6d, betas, cam
 
 
 MESH_METHOD_CONFIGS = {
     # reference SMPLMethodLookup names (pipeline.py:1514-1530)
     "VIBE": MeshRegressorConfig("VIBE", temporal=True),
     "MEVA": MeshRegressorConfig("MEVA", temporal=True, temporal_kernel=13),
-    "ProHMR": MeshRegressorConfig("ProHMR", temporal=False),
+    "ProHMR": MeshRegressorConfig("ProHMR", temporal=False,
+                                  keypoint_fitting=True),
     "Expose": MeshRegressorConfig("Expose", temporal=False, body="smplx"),
     "PARE": MeshRegressorConfig("PARE", temporal=False, feature_dim=768),
     "PIXIE": MeshRegressorConfig("PIXIE", temporal=False, body="smplx"),
-    "ProHMR_MMPose": MeshRegressorConfig("ProHMR_MMPose", temporal=False),
-    "HybrIK": MeshRegressorConfig("HybrIK", temporal=False, num_iterations=1),
+    "ProHMR_MMPose": MeshRegressorConfig("ProHMR_MMPose", temporal=False,
+                                         keypoint_fitting=True),
+    "HybrIK": MeshRegressorConfig("HybrIK", temporal=False, num_iterations=1,
+                                  joint_head=True),
 }
 
 
@@ -143,8 +162,23 @@ class MeshRecoveryModel:
 
     @functools.partial(jax.jit, static_argnums=0)
     def _infer(self, params, crops):
-        pose6d, betas, cam = self.net.apply(params, crops)
-        R = rotation_6d_to_matrix(pose6d)
+        outs = self.net.apply(params, crops)
+        if self.cfg.joint_head:
+            # HybrIK path: direct 3D joint prediction → analytic IK → FK
+            from .smpl_fitting import analytic_ik
+
+            pose6d, betas, cam, delta = outs
+            B = betas.shape[0]
+            eye = jnp.tile(jnp.eye(3), (B, self.cfg.num_joints, 1, 1))
+            zero_t = jnp.zeros((B, 3), jnp.float32)
+            _, rest = self.body._forward(betas, eye, zero_t)
+            target = rest + delta
+            R = analytic_ik(rest, target, self.body.p.parents)
+            # pose re-expressed in 6D from the IK rotations (rows 0, 1)
+            pose6d = jnp.concatenate([R[..., 0, :], R[..., 1, :]], axis=-1)
+        else:
+            pose6d, betas, cam = outs
+            R = rotation_6d_to_matrix(pose6d)
         verts, joints3d = self.body._forward(
             betas, R, jnp.zeros((betas.shape[0], 3), jnp.float32))
         joints2d = project_weak_perspective(joints3d, cam)
@@ -156,3 +190,22 @@ class MeshRecoveryModel:
             self.params, crops_normalized)
         return dict(poses=pose6d, betas=betas, cams=cam,
                     joints3d=joints3d, joints2d=joints2d, verts=verts)
+
+    def refine_with_keypoints(self, out, kp2d_crop_norm, steps: int = 80):
+        """ProHMR-style keypoint-conditioned fitting over the regressor
+        output (reference wrappers/prohmr.py:174-284): one jitted optax
+        program refines (pose, cam) against crop-normalized 2D keypoints.
+        Returns the out-dict with refined fields + ``fit_losses``."""
+        from .smpl_fitting import KeypointFitter
+
+        # cache the fitter: its jitted program is keyed on instance identity
+        if getattr(self, "_fitter", None) is None or self._fitter.steps != steps:
+            self._fitter = KeypointFitter(self.body, steps=steps)
+        fitter = self._fitter
+        ref = fitter(out["poses"], out["betas"], out["cams"], kp2d_crop_norm)
+        new = dict(out)
+        new.update(poses=ref["poses"], cams=ref["cams"],
+                   joints3d=ref["joints3d"], verts=ref["verts"],
+                   fit_losses=ref["fit_losses"])
+        new["joints2d"] = project_weak_perspective(ref["joints3d"], ref["cams"])
+        return new

@@ -71,7 +71,15 @@ class TopDownModel:
 
     def __init__(self, cfg: TopDownConfig, params=None, seed: int = 0):
         self.cfg = cfg
-        self.net = TopDownNet(cfg)
+        if cfg.backbone.startswith("hrnet"):
+            # the reference-checkpoint-parity architecture (HRNet-W32/W48 +
+            # simple head, models/hrnet.py); width encoded in the name
+            from .hrnet import HRNetHeatmap
+
+            width = int(cfg.backbone[len("hrnet"):] or "48")
+            self.net = HRNetHeatmap(num_joints=cfg.num_joints, width=width)
+        else:
+            self.net = TopDownNet(cfg)
         if params is None:
             dummy = jnp.zeros((1, *cfg.input_hw, 3), jnp.float32)
             from .init_util import init_on_cpu
@@ -106,6 +114,15 @@ TOPDOWN_CONFIGS = {
     "MMPoseTCFormerWholebody": TopDownConfig("MMPoseTCFormerWholebody", num_joints=133,
                                              dim=512, depth=10, num_heads=8),
     "ConvBaseline": TopDownConfig("ConvBaseline", num_joints=17, backbone="conv"),
+    # checkpoint-parity architectures for the reference's actual flagship
+    # checkpoints (HRNet-W48+DARK, reference wrappers/mmpose.py:26-44);
+    # convert with tools/convert_weights.py --arch hrnet
+    "HRNetW48": TopDownConfig("HRNetW48", num_joints=17, backbone="hrnet48"),
+    "HRNetW48Wholebody": TopDownConfig("HRNetW48Wholebody", num_joints=133,
+                                       backbone="hrnet48"),
+    "HRNetW48Halpe": TopDownConfig("HRNetW48Halpe", num_joints=136,
+                                   backbone="hrnet48"),
+    "HRNetW32": TopDownConfig("HRNetW32", num_joints=17, backbone="hrnet32"),
 }
 
 _model_cache = {}

@@ -80,6 +80,18 @@ def _load():
         lib.mdec_downsample_batch_i420.argtypes = [
             c.POINTER(c.c_uint8), c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
             c.POINTER(c.c_uint8), c.c_int, c.c_int]
+        lib.mdec_read_refs.restype = c.c_int
+        lib.mdec_read_refs.argtypes = [c.c_void_p, c.POINTER(c.c_void_p), c.c_int]
+        lib.mdec_release_refs.restype = None
+        lib.mdec_release_refs.argtypes = [c.POINTER(c.c_void_p), c.c_int]
+        lib.mdec_crop_refs.restype = None
+        lib.mdec_crop_refs.argtypes = [
+            c.POINTER(c.c_void_p), c.c_int, c.c_int, c.c_int,
+            c.POINTER(c.c_float), c.POINTER(c.c_uint8), c.c_int, c.c_int]
+        lib.mdec_downsample_refs.restype = None
+        lib.mdec_downsample_refs.argtypes = [
+            c.POINTER(c.c_void_p), c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
+            c.POINTER(c.c_uint8), c.c_int, c.c_int]
         _lib = lib
         return _lib
 
@@ -133,6 +145,19 @@ class NativeVideoReader:
             raise IOError("native decode error")
         return n
 
+    def read_refs(self, max_frames: int) -> "FrameRefs":
+        """Decode up to ``max_frames`` zero-copy: returns ref-counted handles
+        into the decoder's frame pool (no packed-I420 memcpy). The caller
+        must ``release()`` (or let GC) every batch — held refs pin decoder
+        pool buffers (~3 MB each at 1080p)."""
+        if self._h is None:
+            return FrameRefs(self._lib, None, 0, self.width, self.height)
+        handles = (ctypes.c_void_p * max_frames)()
+        n = self._lib.mdec_read_refs(self._h, handles, max_frames)
+        if n < 0:
+            raise IOError("native decode error")
+        return FrameRefs(self._lib, handles, n, self.width, self.height)
+
     def close(self):
         if self._h is not None:
             self._lib.mdec_close(self._h)
@@ -149,6 +174,60 @@ class NativeVideoReader:
             self.close()
         except Exception:
             pass
+
+
+class FrameRefs:
+    """A batch of ref-counted decoded frames (zero-copy decode path).
+
+    Wraps N AVFrame* handles; ``crop``/``downsample`` read the codec-owned
+    planes in place (linesize-aware). ``release()`` frees the refs — it is
+    idempotent and also runs at GC as a leak backstop.
+    """
+
+    def __init__(self, lib, handles, n, width, height):
+        self._lib = lib
+        self._handles = handles
+        self.n = n
+        self.width = width
+        self.height = height
+
+    def release(self):
+        if self._handles is not None and self.n:
+            self._lib.mdec_release_refs(self._handles, self.n)
+        self._handles = None
+        self.n = 0
+
+    def __del__(self):  # pragma: no cover - GC safety
+        try:
+            self.release()
+        except Exception:
+            pass
+
+    def crop(self, boxes: np.ndarray, crop_hw: Tuple[int, int],
+             out: Optional[np.ndarray] = None) -> np.ndarray:
+        """Bilinear bbox crops (XYWH full-res pixels) → (n, th*3//2, tw)."""
+        th, tw = crop_hw
+        boxes = np.ascontiguousarray(boxes[: self.n], np.float32)
+        if out is None:
+            out = np.empty((self.n, th * 3 // 2, tw), np.uint8)
+        self._lib.mdec_crop_refs(
+            self._handles, self.n, self.width, self.height,
+            boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            _u8ptr(out), tw, th)
+        return out
+
+    def downsample(self, stride: int, out_wh: Tuple[int, int],
+                   interval: int = 1,
+                   out: Optional[np.ndarray] = None) -> np.ndarray:
+        """Strided downsample of every ``interval``-th frame → keyframes."""
+        ow, oh = out_wh
+        n_out = (self.n + interval - 1) // interval
+        if out is None:
+            out = np.empty((n_out, oh * 3 // 2, ow), np.uint8)
+        self._lib.mdec_downsample_refs(self._handles, n_out, self.width,
+                                       self.height, stride, interval,
+                                       _u8ptr(out), ow, oh)
+        return out
 
 
 def yuv_batches(path: str, batch_size: int,

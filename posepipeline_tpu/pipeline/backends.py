@@ -211,7 +211,15 @@ def _get_face_model():
         kw.update(config.get("custom", {}).get("face_model", {}))
         for k in ("input_hw", "heatmap_hw"):
             kw[k] = tuple(kw[k])
-        _face_models["face"] = TopDownModel(TopDownConfig("face_OpenPose", **kw))
+        model = TopDownModel(TopDownConfig("face_OpenPose", **kw))
+        from ..models.params_io import (commit_to_default, load_params,
+                                        merge_params, registry_weights_path)
+
+        path = registry_weights_path("topdown", "face_OpenPose")
+        if path:
+            model.params = commit_to_default(
+                merge_params(model.params, load_params(path)))
+        _face_models["face"] = model
     return _face_models["face"]
 
 

@@ -212,5 +212,16 @@ def _get_hand_model(method: str):
         kw.update(config.get("custom", {}).get("hand_model", {}))
         for k in ("input_hw", "heatmap_hw"):
             kw[k] = tuple(kw[k])
-        _hand_models[method] = TopDownModel(TopDownConfig(f"hand_{method}", **kw))
+        model = TopDownModel(TopDownConfig(f"hand_{method}", **kw))
+        # registry weights: all hand slots share the synthetic-hand-trained
+        # net (topdown__hand.npz) unless a per-method file exists
+        from ..models.params_io import (commit_to_default, load_params,
+                                        merge_params, registry_weights_path)
+
+        path = (registry_weights_path("topdown", f"hand_{method}")
+                or registry_weights_path("topdown", "hand"))
+        if path:
+            model.params = commit_to_default(
+                merge_params(model.params, load_params(path)))
+        _hand_models[method] = model
     return _hand_models[method]

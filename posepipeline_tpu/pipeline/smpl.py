@@ -64,6 +64,47 @@ def _person_crops(key, crop_hw=(224, 224), batch_size: int = 8):
     return crops, np.asarray(bbox), np.asarray(present, bool)
 
 
+def _fitting_keypoints(key, method: str):
+    """COCO-17 keypoints (T, 17, 3) conditioning the ProHMR fit, or None.
+
+    ProHMR_MMPose prefers a TopDownPerson row for this video (any method,
+    lowest id — the reference conditions on its MMPose detections,
+    wrappers/prohmr.py:174-284); ProHMR prefers OpenPosePerson (BODY_25 →
+    COCO-17). Either falls back to the other; returns None when the video
+    has no 2D detections (fit skipped, regressor output stands)."""
+    from ..utils.skeletons import body25_to_coco17
+    from .person2d import TopDownPerson
+
+    vkey = {k: key[k] for k in ("video_project", "filename") if k in key}
+
+    # TopDownPerson methods whose joint order starts with COCO-17
+    # (MMPose/Wholebody/Halpe/HRFormer/TCFormer — pipeline.py:1097-1141);
+    # OpenPose/Bridging rows are BODY_25-ordered and are NOT sliceable
+    _COCO_PREFIXED = {0, 1, 2, 3, 7}
+
+    def topdown():
+        rows = (TopDownPerson & vkey).fetch("top_down_method", "keypoints")
+        if len(rows[0]) == 0:
+            return None
+        ids = np.asarray(rows[0], int)
+        usable = [i for i in np.argsort(ids) if ids[i] in _COCO_PREFIXED]
+        if not usable:
+            return None
+        kp = np.asarray(rows[1][usable[0]], np.float32)
+        return kp[:, :17] if kp.shape[1] >= 17 else None
+
+    def openpose():
+        rows = (OpenPosePerson & vkey).fetch("keypoints")
+        if len(rows) == 0:
+            return None
+        return np.asarray(body25_to_coco17(np.asarray(rows[0], np.float32)))
+
+    first, second = ((topdown, openpose) if method == "ProHMR_MMPose"
+                     else (openpose, topdown))
+    kp = first()
+    return kp if kp is not None else second()
+
+
 @schema
 class SMPLMethodLookup(Lookup):
     definition = """
@@ -121,6 +162,22 @@ class SMPLPerson(Computed):
 
         width, height = (VideoInfo & key).fetch1("width", "height")
         square = np.asarray(fix_aspect_ratio(bbox, dilate=1.2, ratio=1.0))
+
+        if model.cfg.keypoint_fitting:
+            # ProHMR slots: keypoint-conditioned fitting on the regressor
+            # output (reference wrappers/prohmr.py:174-284 — ProHMR_MMPose
+            # conditions on MMPose keypoints, ProHMR on OpenPose ones)
+            kp = _fitting_keypoints(key, method)
+            if kp is not None:
+                from ..models.smpl_fitting import keypoints_to_crop_norm
+
+                # pad/trim detections to the track length; padded frames get
+                # confidence 0 (no data term — the prior holds them)
+                kp_full = np.zeros((len(crops), kp.shape[1], 3), np.float32)
+                T = min(len(kp), len(crops))
+                kp_full[:T] = kp[:T]
+                kp_norm = keypoints_to_crop_norm(kp_full, square)
+                out = model.refine_with_keypoints(out, kp_norm)
         orig_cam = np.asarray(convert_crop_cam_to_orig_img(
             np.asarray(out["cams"]), square, width, height))
 

@@ -311,6 +311,26 @@ class I420PoseEstimator:
         hm = jnp.transpose(hm, (0, 3, 1, 2))
         return decode_heatmaps(hm, fixed_boxes)
 
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=(4,))
+    def _pose_accum(self, td_params, crops_yuv, fixed_boxes, kp_buf, offset):
+        """Pose step + device-resident accumulation: writes this chunk's
+        keypoints into ``kp_buf`` at frame ``offset`` and returns the buffer.
+
+        The round-2 runtime fetched keypoints per chunk — ~50 ms of link
+        round trip × every chunk, plus a dedicated fetch thread whose GIL
+        wakes stole time from the (single-core) decoder. Accumulating on
+        device makes the steady state fetch-free: one keypoints fetch per
+        *video*, not per chunk. ``kp_buf`` is donated, so the update is
+        in-place device memory."""
+        from ..ops.colorspace import i420_to_rgb
+
+        th, tw = self.topdown.cfg.input_hw
+        rgb = i420_to_rgb(crops_yuv, th, tw)
+        hm = self.topdown.net.apply(td_params, normalize_imagenet(rgb))
+        hm = jnp.transpose(hm, (0, 3, 1, 2))
+        kp = decode_heatmaps(hm, fixed_boxes)
+        return jax.lax.dynamic_update_slice(kp_buf, kp, (offset, 0, 0))
+
 
 class NativeStreamingRunner:
     """Stream videos through the I420-native pipeline with a two-thread
@@ -366,63 +386,101 @@ class NativeStreamingRunner:
         C = self.chunk_frames
         KF = (C + di - 1) // di
         scale = np.array([est.det_stride] * 4 + [1.0], np.float64)
-        bufs = [np.zeros((C, H * 3 // 2, W), np.uint8)
-                for _ in range(self.num_buffers)]
-        free_bufs: queue.Queue = queue.Queue()
-        for i in range(self.num_buffers):
-            free_bufs.put(i)
-        small_buf = np.zeros((KF, est.det_hw[0] * 3 // 2, est.det_hw[1]), np.uint8)
-        results = [dict(boxes=[], scores=[], keypoints=[]) for _ in video_paths]
+        J = est.topdown.cfg.num_joints
+        # bound decoded-but-not-yet-cropped chunks: each in-flight chunk pins
+        # up to C ref-counted frames in the decoder pool (zero-copy decode)
+        inflight = threading.Semaphore(self.num_buffers)
+        results = [dict(boxes=[], scores=[], frames=0) for _ in video_paths]
+        # keypoints accumulate ON DEVICE (see _pose_accum): one buffer per
+        # video, one fetch per video at drain time — the steady state does
+        # zero keypoint round trips
+        kp_bufs: Dict[int, object] = {}
 
         work_q: queue.Queue = queue.Queue()
-        worker_error: list = []
-        # third pipeline stage: kp fetches wait in their own thread so the
-        # box-fetch wait (worker) and the kp-fetch wait never serialize —
-        # on a 1-core host both waits release the GIL and overlap decode
+        # crop→dispatch hand-off: bounded so pose dispatch backpressures crops
         pose_q: queue.Queue = queue.Queue(maxsize=self.max_inflight_pose)
+        worker_error: list = []
         q_samples: list = []  # producer-side queue depth (pipeline occupancy)
+        lift_results: Dict[int, tuple] = {}
 
-        def fetcher():
+        def process(entry):
+            vid, refs, n, fut, offset = entry
+            try:
+                with metrics.StageTimer("native.fetch_boxes", frames=n):
+                    kf = np.asarray(fut) * scale  # (KF, 5): boxes*stride | score
+                idx = np.minimum(np.arange(n) // di, len(kf) - 1)
+                boxes, scores = kf[idx, :4], kf[idx, 4]
+                fixed = np.round(_fix_aspect_np(boxes, dilate=1.2, ratio=tw / th))
+                fixed = fixed.astype(np.float32)
+                with metrics.StageTimer("native.crop", frames=n):
+                    if n < C:  # tail chunk: pad to the compiled batch shape
+                        crops = np.zeros((C, th * 3 // 2, tw), np.uint8)
+                        refs.crop(fixed, (th, tw), out=crops[:n])
+                        fixed = np.concatenate(
+                            [fixed, np.zeros((C - n, 4), np.float32)])
+                    else:
+                        crops = refs.crop(fixed, (th, tw))
+            finally:
+                refs.release()
+                inflight.release()
+            results[vid]["boxes"].append(boxes[:n])
+            results[vid]["scores"].append(scores[:n])
+            results[vid]["frames"] += n
+            # bounded put that aborts if the dispatcher died
+            while True:
+                try:
+                    pose_q.put((vid, crops, fixed, n, offset), timeout=1.0)
+                    break
+                except queue.Full:
+                    if worker_error:
+                        raise worker_error[0]
+
+        def dispatcher():
+            """Last pipeline stage: the crop host→device transfer + pose
+            dispatch (~2 MB/chunk through the device link) runs off the
+            crop/box thread so neither it nor the decoder ever waits on it.
+            At each end-of-video marker the finished video's keypoints are
+            fetched and its 3D lift dispatched HERE — overlapping the next
+            video's decode instead of serializing at drain time."""
             try:
                 while True:
                     entry = pose_q.get()
                     if entry is None:
                         break
-                    vid, n, fut, boxes, scores = entry
-                    with metrics.StageTimer("native.fetch_kp", frames=n):
-                        kp = np.asarray(fut)
-                    results[vid]["boxes"].append(boxes[:n])
-                    results[vid]["scores"].append(scores[:n])
-                    results[vid]["keypoints"].append(kp[:n])
+                    if entry[0] == "eov":
+                        vid = entry[1]
+                        nf = results[vid]["frames"]
+                        if lift and self.lifter is not None and nf \
+                                and vid in kp_bufs:
+                            with metrics.StageTimer("native.fetch_kp",
+                                                    frames=nf):
+                                kp = np.asarray(kp_bufs[vid])[:nf]
+                            with metrics.StageTimer("lift_3d", frames=nf):
+                                info = video_info(video_paths[vid])
+                                kp3d, valid3 = self.lifter(
+                                    kp, info["width"], info["height"])
+                            lift_results[vid] = (kp, np.asarray(kp3d),
+                                                 np.asarray(valid3))
+                        continue
+                    vid, crops, fixed, n, offset = entry
+                    buf = kp_bufs.get(vid)
+                    if buf is None or offset + C > buf.shape[0]:
+                        # first chunk, or a container whose nb_frames lied:
+                        # (re)grow. jnp.zeros is lazy device-side.
+                        grow = max(offset + C,
+                                   2 * (buf.shape[0] if buf is not None else 0))
+                        new = jnp.zeros((grow, J, 3), jnp.float32)
+                        if buf is not None:
+                            new = jax.lax.dynamic_update_slice(new, buf,
+                                                               (0, 0, 0))
+                        buf = new
+                    with metrics.StageTimer("native.pose_dispatch", frames=n):
+                        kp_bufs[vid] = est._pose_accum(
+                            est.topdown.params, jnp.asarray(crops),
+                            jnp.asarray(fixed), buf, offset)
             except Exception as e:  # noqa: BLE001 - surfaced in main thread
                 worker_error.append(e)
-                # unblock the producer (buffer waits) like worker errors do;
-                # the worker's bounded put sees worker_error and aborts
-                for _ in range(self.num_buffers):
-                    free_bufs.put(-1)
-
-        def process(entry):
-            vid, bidx, n, fut = entry
-            with metrics.StageTimer("native.fetch_boxes", frames=n):
-                kf = np.asarray(fut) * scale  # (KF, 5): boxes*stride | score
-            idx = np.minimum(np.arange(C) // di, len(kf) - 1)
-            boxes, scores = kf[idx, :4], kf[idx, 4]
-            fixed = np.round(_fix_aspect_np(boxes, dilate=1.2, ratio=tw / th))
-            fixed = fixed.astype(np.float32)
-            with metrics.StageTimer("native.crop", frames=n):
-                crops = media.crop_batch(bufs[bidx], W, H, fixed, (th, tw))
-            free_bufs.put(bidx)
-            fut2 = est._pose_yuv(est.topdown.params, jnp.asarray(crops),
-                                 jnp.asarray(fixed))
-            # bounded put that aborts if the fetcher died (otherwise a full
-            # queue with no consumer deadlocks the whole pipeline)
-            while True:
-                try:
-                    pose_q.put((vid, n, fut2, boxes, scores), timeout=1.0)
-                    break
-                except queue.Full:
-                    if worker_error:
-                        raise worker_error[0]
+                inflight.release()
 
         def worker():
             try:
@@ -430,64 +488,82 @@ class NativeStreamingRunner:
                     entry = work_q.get()
                     if entry is None:
                         break
+                    if entry[0] == "eov":
+                        while True:
+                            try:
+                                pose_q.put(entry, timeout=1.0)
+                                break
+                            except queue.Full:
+                                if worker_error:
+                                    raise worker_error[0]
+                        continue
                     process(entry)
             except Exception as e:  # noqa: BLE001 - surfaced in main thread
                 worker_error.append(e)
-                # unblock the producer waiting on buffers
-                for i in range(self.num_buffers):
-                    free_bufs.put(-1)
+                inflight.release()
 
         wt = threading.Thread(target=worker, daemon=True)
         wt.start()
-        ft = threading.Thread(target=fetcher, daemon=True)
-        ft.start()
+        dt = threading.Thread(target=dispatcher, daemon=True)
+        dt.start()
 
         import time as _time
 
         try:
             for vid, path in enumerate(video_paths):
                 reader = media.NativeVideoReader(path)
-                # the decode buffers and compiled programs are sized for
-                # est.input_hw — a larger video would overflow the buffer in
-                # the C++ decoder, a smaller one would silently misalign the
-                # I420 planes. Refuse loudly instead.
+                # the compiled programs are sized for est.input_hw — refuse
+                # mismatched videos loudly (BucketedStreamingRunner groups
+                # mixed-resolution fleets into per-size runners)
                 if (reader.height, reader.width) != (H, W):
                     reader.close()
                     raise ValueError(
                         f"{path!r} is {reader.width}x{reader.height} but this "
                         f"runner's estimator is compiled for {W}x{H}; run "
                         "same-resolution videos per runner (group by size)")
+                # pre-size the device accumulator from the container header
+                # (worker grows it if nb_frames was absent or wrong)
+                if reader.num_frames > 0:
+                    t_pad = ((reader.num_frames + C - 1) // C) * C
+                    kp_bufs[vid] = jnp.zeros((t_pad, J, 3), jnp.float32)
+                offset = 0
                 try:
                     while not worker_error:
-                        bidx = free_bufs.get()
-                        if bidx < 0:
+                        inflight.acquire()
+                        if worker_error:
                             break
-                        buf = bufs[bidx]
                         t0 = _time.perf_counter()
-                        n = reader.read_batch(buf)
+                        refs = reader.read_refs(C)
+                        n = refs.n
                         if n == 0:
-                            free_bufs.put(bidx)
+                            inflight.release()
                             break
                         metrics.record("decode", n, _time.perf_counter() - t0)
-                        if n < C:
-                            buf[n:] = 0
-                        with metrics.StageTimer("native.downsample", frames=KF):
-                            media.downsample_batch(buf, W, H, est.det_stride,
-                                                   (est.det_hw[1], est.det_hw[0]),
-                                                   interval=di, out=small_buf)
-                        # .copy(): small_buf is reused next chunk, and
-                        # device_put may alias numpy memory zero-copy on the
-                        # CPU backend
-                        fut = est._detect_yuv(est.detector.params,
-                                              jnp.asarray(small_buf.copy()))
-                        work_q.put((vid, bidx, n, fut))
+                        n_kf = (n + di - 1) // di
+                        with metrics.StageTimer("native.downsample",
+                                                frames=n_kf):
+                            small = np.empty(
+                                (KF, est.det_hw[0] * 3 // 2, est.det_hw[1]),
+                                np.uint8)
+                            refs.downsample(est.det_stride,
+                                            (est.det_hw[1], est.det_hw[0]),
+                                            interval=di, out=small[:n_kf])
+                            if n_kf < KF:
+                                small[n_kf:] = 0
+                        with metrics.StageTimer("native.detect_dispatch",
+                                                frames=n_kf):
+                            fut = est._detect_yuv(est.detector.params,
+                                                  jnp.asarray(small))
+                        work_q.put((vid, refs, n, fut, offset))
+                        offset += n
                         q_samples.append(work_q.qsize())
                 finally:
                     reader.close()
+                work_q.put(("eov", vid))
         finally:
             work_q.put(None)
             wt.join()
-            # deliver the fetcher sentinel even if it died with a full queue
+            # deliver the dispatcher sentinel even if it died with a full queue
             while True:
                 try:
                     pose_q.put_nowait(None)
@@ -497,7 +573,7 @@ class NativeStreamingRunner:
                         pose_q.get_nowait()
                     except queue.Empty:
                         pass
-            ft.join()
+            dt.join()
         if worker_error:
             raise worker_error[0]
         # prefetch-pipeline occupancy: >0 mean means the consumer had work
@@ -509,7 +585,15 @@ class NativeStreamingRunner:
 
         out = []
         for vid, r in enumerate(results):
-            kp = np.concatenate(r["keypoints"]) if r["keypoints"] else np.zeros((0, 17, 3))
+            nf = r["frames"]
+            if vid in lift_results:       # fetched+lifted by the dispatcher
+                kp, kp3d, valid3 = lift_results[vid]
+            elif nf and vid in kp_bufs:
+                with metrics.StageTimer("native.fetch_kp", frames=nf):
+                    kp = np.asarray(kp_bufs[vid])[:nf]
+                kp3d = valid3 = None
+            else:
+                kp, kp3d, valid3 = np.zeros((0, J, 3)), None, None
             item = dict(
                 video=video_paths[vid],
                 boxes=np.concatenate(r["boxes"]) if r["boxes"] else np.zeros((0, 4)),
@@ -517,13 +601,73 @@ class NativeStreamingRunner:
                 keypoints2d=kp,
             )
             if lift and len(kp):
-                info = video_info(video_paths[vid])
-                with metrics.StageTimer("lift_3d", frames=len(kp)):
-                    kp3d, valid3 = self.lifter(kp, info["width"], info["height"])
+                if kp3d is None:
+                    info = video_info(video_paths[vid])
+                    with metrics.StageTimer("lift_3d", frames=len(kp)):
+                        kp3d, valid3 = self.lifter(kp, info["width"],
+                                                   info["height"])
                 item["keypoints3d"] = np.asarray(kp3d)
                 item["keypoints_valid"] = np.asarray(valid3)
             out.append(item)
         return out
+
+
+class BucketedStreamingRunner:
+    """Mixed-resolution fleets: group videos by (H, W), one compiled
+    estimator per bucket, buckets streamed back-to-back.
+
+    The reference adapts its net resolution per video
+    (reference wrappers/openpose.py:129-154 recomputes netres from each
+    video's aspect); under XLA the equivalent is one compiled program per
+    frame geometry, reused across every video that shares it — so a clinic
+    batch of mixed 1080p/720p/480p videos runs without recompiles beyond
+    one per distinct size, and results come back in input order.
+
+    Shares one lifter across buckets (keypoint-space programs are
+    resolution-independent).
+    """
+
+    def __init__(self, lifter: Optional[LiftingModel] = None,
+                 chunk_frames: int = 32, det_scale: float = 0.25,
+                 det_interval: int = 4, runner_cls=None):
+        self.lifter = lifter
+        self.chunk_frames = chunk_frames
+        self.det_scale = det_scale
+        self.det_interval = det_interval
+        self.runner_cls = runner_cls or NativeStreamingRunner
+        self._runners: Dict[tuple, object] = {}
+
+    def _runner_for(self, hw: tuple):
+        if hw not in self._runners:
+            est = I420PoseEstimator(input_hw=hw, det_scale=self.det_scale,
+                                    det_interval=self.det_interval)
+            self._runners[hw] = self.runner_cls(
+                estimator=est, lifter=self.lifter,
+                chunk_frames=self.chunk_frames)
+        return self._runners[hw]
+
+    def run(self, video_paths: List[str], lift: bool = True) -> List[Dict]:
+        from ..native import media
+
+        buckets: Dict[tuple, list] = {}
+        order: Dict[str, int] = {}
+        for i, path in enumerate(video_paths):
+            r = media.NativeVideoReader(path)
+            hw = (r.height, r.width)
+            r.close()
+            buckets.setdefault(hw, []).append(i)
+            order[path] = i
+        out: List[Optional[Dict]] = [None] * len(video_paths)
+        for hw, idxs in buckets.items():
+            runner = self._runner_for(hw)
+            if lift and runner.lifter is None:
+                if self.lifter is None:
+                    self.lifter = LiftingModel("GastNet")
+                runner.lifter = self.lifter
+            results = runner.run([video_paths[i] for i in idxs], lift=lift)
+            for i, res in zip(idxs, results):
+                out[i] = res
+        return out  # input order
 
 
 class _DecodeWorker(threading.Thread):

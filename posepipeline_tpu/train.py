@@ -135,6 +135,69 @@ class DetectorTrainer:
                 print(f"detector step {step}: loss {losses[-1]:.4f}")
         return losses
 
+    def fit_device(self, steps: int = 3000, batch: int = 16,
+                   hw: Tuple[int, int] = (240, 320), seed: int = 0,
+                   scan_len: int = 100, learning_rate: float = 1e-3,
+                   log_every: int = 0, batch_fn=None):
+        """Device-resident training: synthjax renders batches on the TPU from
+        PRNG keys and ``scan_len`` optimizer steps run as one ``lax.scan``
+        program — zero per-step host transfer, so step counts 10-100× the
+        host trainers' cost the same wall clock (see synthjax module doc).
+
+        ``batch_fn(key, batch) -> (frames 0..255, TLHW boxes)`` overrides the
+        person sampler (the face detector passes synthjax.face_detector_batch)."""
+        from . import synthjax
+
+        if batch_fn is None:
+            batch_fn = functools.partial(synthjax.detector_batch, hw=hw)
+        opt = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(optax.schedules.warmup_cosine_decay_schedule(
+                0.0, learning_rate, max(steps // 20, 20), steps,
+                learning_rate * 0.05)))
+        opt_state = opt.init(self.detector.params)
+        stride = self.detector.cfg.stride
+
+        @jax.jit
+        def scan_steps(params, opt_state, key):
+            def body(carry, k):
+                params, opt_state = carry
+                frames, boxes = batch_fn(k, batch)
+
+                def loss_fn(p):
+                    x = frames / 255.0
+                    center, size, offset = self.detector.net.apply(p, x)
+                    t_center, t_size, t_offset, mask = detector_targets(
+                        boxes, hw, stride)
+                    l_center = center_focal_loss(center, t_center)
+                    n_pos = jnp.maximum(mask.sum(), 1.0)
+                    l_size = jnp.sum(jnp.abs(size - t_size) * mask[..., None]) / n_pos
+                    l_off = jnp.sum(jnp.abs(offset - t_offset) * mask[..., None]) / n_pos
+                    return l_center + 0.1 * l_size + l_off
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = opt.update(grads, opt_state)
+                return (optax.apply_updates(params, updates), opt_state), loss
+
+            keys = jax.random.split(key, scan_len)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), keys)
+            return params, opt_state, losses
+
+        params = self.detector.params
+        all_losses = []
+        root = jax.random.PRNGKey(seed)
+        for chunk in range((steps + scan_len - 1) // scan_len):
+            params, opt_state, losses = scan_steps(
+                params, opt_state, jax.random.fold_in(root, chunk))
+            all_losses.extend(np.asarray(losses).tolist())
+            if log_every:
+                print(f"detector step {len(all_losses)}: "
+                      f"loss {all_losses[-1]:.4f}")
+        self.detector.params = params
+        self.opt_state = opt_state
+        return all_losses[:steps]
+
 
 class TopDownTrainer:
     def __init__(self, model: TopDownModel, learning_rate: float = 1e-3):
@@ -186,6 +249,67 @@ class TopDownTrainer:
             if log_every and step % log_every == 0:
                 print(f"topdown step {step}: loss {losses[-1]:.5f}")
         return losses
+
+    def fit_device(self, steps: int = 3000, batch: int = 16, seed: int = 0,
+                   scan_len: int = 100, learning_rate: float = 1e-3,
+                   box_jitter: float = 0.10, log_every: int = 0,
+                   batch_fn=None):
+        """Device-resident training (see DetectorTrainer.fit_device): crops
+        are rendered in crop space on the TPU with detector-like box jitter —
+        the round-2 host trainer's exact-GT-box crops were a train/eval
+        mismatch that cost PCK against real detector boxes.
+
+        ``batch_fn(key, batch) -> (crops 0..255, kp_crop)`` overrides the
+        body-figure sampler (hand/face nets pass synthjax.hand_batch /
+        face_crop_batch)."""
+        from . import synthjax
+
+        cfg = self.model.cfg
+        if batch_fn is None:
+            batch_fn = functools.partial(
+                synthjax.topdown_joints_batch, num_joints=cfg.num_joints,
+                crop_hw=cfg.input_hw, box_jitter=box_jitter)
+        opt = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(optax.schedules.warmup_cosine_decay_schedule(
+                0.0, learning_rate, max(steps // 20, 20), steps,
+                learning_rate * 0.05)))
+        opt_state = opt.init(self.model.params)
+
+        @jax.jit
+        def scan_steps(params, opt_state, key):
+            def body(carry, k):
+                params, opt_state = carry
+                crops, kp_crop = batch_fn(k, batch)
+                crops_norm = normalize_imagenet(crops)
+                target = topdown_targets(kp_crop, cfg.heatmap_hw, cfg.input_hw)
+
+                def loss_fn(p):
+                    hm = self.model.net.apply(p, crops_norm)
+                    return jnp.mean((hm - target) ** 2)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = opt.update(grads, opt_state)
+                return (optax.apply_updates(params, updates), opt_state), loss
+
+            keys = jax.random.split(key, scan_len)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), keys)
+            return params, opt_state, losses
+
+        params = self.model.params
+        all_losses = []
+        root = jax.random.PRNGKey(seed)
+        for chunk in range((steps + scan_len - 1) // scan_len):
+            params, opt_state, losses = scan_steps(
+                params, opt_state, jax.random.fold_in(root, chunk))
+            all_losses.extend(np.asarray(losses).tolist())
+            if log_every:
+                print(f"topdown step {len(all_losses)}: "
+                      f"loss {all_losses[-1]:.5f}")
+        self.model.params = params
+        self.opt_state = opt_state
+        return all_losses[:steps]
 
 
 # ---------------------------------------------------------------------------
@@ -388,6 +512,178 @@ class AETrainer:
             if log_every and step % log_every == 0:
                 print(f"ae step {step}: loss {losses[-1]:.4f}")
         return losses
+
+
+# ---------------------------------------------------------------------------
+# Bridging (MeTRAbs slot) trainer
+# ---------------------------------------------------------------------------
+
+# COCO-17 → BODY_25 gather (utils/skeletons.coco17_to_body25 as index math;
+# sternum/pelvis are midpoints, feet have no COCO source → masked out)
+_B25_SRC = np.zeros(25, np.int64)
+_B25_MASK = np.zeros(25, np.float32)
+for _b25, _c17 in {0: 0, 15: 2, 16: 1, 17: 4, 18: 3, 2: 6, 3: 8, 4: 10,
+                   5: 5, 6: 7, 7: 9, 9: 12, 10: 14, 11: 16, 12: 11, 13: 13,
+                   14: 15}.items():
+    _B25_SRC[_b25] = _c17
+    _B25_MASK[_b25] = 1.0
+
+
+class BridgingTrainer:
+    """Fit the MeTRAbs-style bridging head (models/bridging.BridgingNet) on
+    device-rendered crops: the coco_25 subset of the 580-joint superset gets
+    2D soft-argmax supervision from the stick-figure geometry, and the
+    absolute-depth head is supervised to the per-sample camera distance —
+    the synthetic stand-in for the reference's pretrained absolute-3D model
+    (reference wrappers/bridging.py:105-141)."""
+
+    def __init__(self, model, learning_rate: float = 1e-3):
+        from .utils.bridging_superset import PER_SKELETON_INDICES
+
+        self.model = model
+        self.sup_idx = jnp.asarray(PER_SKELETON_INDICES["coco_25"])
+        self.opt = None
+        self.lr = learning_rate
+
+    def fit_device(self, steps: int = 2000, batch: int = 16, seed: int = 0,
+                   scan_len: int = 50, log_every: int = 0):
+        from . import synthjax
+        from .ops.warp import normalize_imagenet
+
+        cfg = self.model.cfg
+        th, tw = cfg.input_hw
+        opt = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(optax.schedules.warmup_cosine_decay_schedule(
+                0.0, self.lr, max(steps // 20, 20), steps, self.lr * 0.05)))
+        opt_state = opt.init(self.model.params)
+        b25_src = jnp.asarray(_B25_SRC)
+        b25_mask = jnp.asarray(_B25_MASK)
+
+        @jax.jit
+        def scan_steps(params, opt_state, key):
+            def body(carry, k):
+                params, opt_state = carry
+                kc, kz = jax.random.split(k)
+                crops, kp17 = synthjax.topdown_batch(kc, batch, cfg.input_hw)
+                crops_norm = normalize_imagenet(crops)
+                kp25 = kp17[:, b25_src]                       # (B, 25, 2)
+                mid_neck = (kp17[:, 5] + kp17[:, 6]) / 2.0
+                mid_hip = (kp17[:, 11] + kp17[:, 12]) / 2.0
+                kp25 = kp25.at[:, 1].set(mid_neck).at[:, 8].set(mid_hip)
+                mask = b25_mask.at[1].set(1.0).at[8].set(1.0)
+                uv_t = kp25 / jnp.asarray([tw, th], jnp.float32)
+                z0 = jax.random.uniform(kz, (batch, 1), minval=1500.0,
+                                        maxval=6000.0)
+
+                def loss_fn(p):
+                    uv, z = self.model.net.apply(p, crops_norm)
+                    uv_s = uv[:, self.sup_idx]                # (B, 25, 2)
+                    z_s = z[:, self.sup_idx]
+                    l_uv = (mask[None, :, None]
+                            * (uv_s - uv_t) ** 2).sum() / mask.sum() / batch
+                    l_z = jnp.mean(((z_s - z0) / 1000.0) ** 2)
+                    return l_uv * 10.0 + l_z
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = opt.update(grads, opt_state)
+                return (optax.apply_updates(params, updates), opt_state), loss
+
+            keys = jax.random.split(key, scan_len)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), keys)
+            return params, opt_state, losses
+
+        params = self.model.params
+        all_losses = []
+        root = jax.random.PRNGKey(seed)
+        for chunk in range((steps + scan_len - 1) // scan_len):
+            params, opt_state, losses = scan_steps(
+                params, opt_state, jax.random.fold_in(root, chunk))
+            all_losses.extend(np.asarray(losses).tolist())
+            if log_every:
+                print(f"bridging step {len(all_losses)}: "
+                      f"loss {all_losses[-1]:.5f}")
+        self.model.params = params
+        return all_losses[:steps]
+
+
+# ---------------------------------------------------------------------------
+# ReID (appearance-embedding) trainer
+# ---------------------------------------------------------------------------
+
+class ReIDTrainer:
+    """Fit the DeepSORT appearance encoder on track-identity fixtures:
+    crops of the same (colored) figure pull together, different figures push
+    apart (batch-hard margin loss) — the role of the reference's pretrained
+    MARS encoder (wrappers/deep_sort_yolov4/tools/generate_detections.py)."""
+
+    def __init__(self, model, learning_rate: float = 1e-3, margin: float = 0.5):
+        self.model = model
+        self.margin = margin
+        self.opt = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(learning_rate))
+        self.opt_state = self.opt.init(model.params)
+
+    def fit_device(self, steps: int = 1500, ids: int = 8, views: int = 2,
+                   seed: int = 0, scan_len: int = 50, log_every: int = 0):
+        from . import synthjax
+
+        ch, cw = self.model.crop_hw
+        opt, margin = self.opt, self.margin
+        opt_state = self.opt_state
+        labels = jnp.repeat(jnp.arange(ids), views)
+
+        @jax.jit
+        def scan_steps(params, opt_state, key):
+            def body(carry, k):
+                params, opt_state = carry
+                # each identity: one figure appearance (color+scale+phase
+                # from one key), rendered under `views` augmentations
+                id_keys = jax.random.split(jax.random.fold_in(k, 0), ids)
+                view_keys = jax.random.split(jax.random.fold_in(k, 1),
+                                             ids * views)
+
+                def render(id_key, view_key):
+                    img, _ = synthjax.sample_topdown_crop(
+                        jax.random.fold_in(id_key, 7), (ch, cw),
+                        box_jitter=0.0)
+                    return synthjax.photometric(view_key, img)
+
+                crops = jax.vmap(render)(
+                    jnp.repeat(id_keys, views, axis=0), view_keys)
+
+                def loss_fn(p):
+                    emb = self.model.net.apply(p, crops)      # (N, D) L2-normed
+                    d = 1.0 - emb @ emb.T                     # cosine distance
+                    same = labels[:, None] == labels[None, :]
+                    eye = jnp.eye(len(labels), dtype=bool)
+                    pos = jnp.where(same & ~eye, d, -jnp.inf).max(1)
+                    neg = jnp.where(~same, d, jnp.inf).min(1)
+                    return jnp.maximum(pos - neg + margin, 0.0).mean()
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = opt.update(grads, opt_state)
+                return (optax.apply_updates(params, updates), opt_state), loss
+
+            keys = jax.random.split(key, scan_len)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), keys)
+            return params, opt_state, losses
+
+        params = self.model.params
+        all_losses = []
+        root = jax.random.PRNGKey(seed)
+        for chunk in range((steps + scan_len - 1) // scan_len):
+            params, opt_state, losses = scan_steps(
+                params, opt_state, jax.random.fold_in(root, chunk))
+            all_losses.extend(np.asarray(losses).tolist())
+            if log_every:
+                print(f"reid step {len(all_losses)}: loss {all_losses[-1]:.5f}")
+        self.model.params = params
+        self.opt_state = opt_state
+        return all_losses[:steps]
 
 
 # ---------------------------------------------------------------------------

@@ -75,3 +75,51 @@ def blur_faces_gaussian(frames, keypoints, threshold: float = 0.3):
     return np.asarray(gaussian_blur_regions(
         jnp.asarray(frames), jnp.asarray(centers), jnp.asarray(radii),
         jnp.asarray(valid)))
+
+
+def face_regions_from_detector(frames, detector=None, score_threshold=0.3):
+    """Face circles from a face *detector* — privacy must not depend on the
+    pose net finding the person (the reference's MTCNN fallback role,
+    wrappers/facenet.py:9-71).
+
+    frames (B, H, W, 3) uint8 → (centers (B, K, 2), radii (B, K),
+    valid (B, K)). ``detector`` defaults to the registry FaceDetector
+    (weights slot detector__FaceDet.npz).
+    """
+    from ..models.detector import FaceDetector
+
+    if detector is None:
+        detector = FaceDetector(input_hw=frames.shape[1:3])
+    boxes, scores = detector(np.asarray(frames))
+    boxes, scores = np.asarray(boxes), np.asarray(scores)
+    centers = boxes[..., :2] + boxes[..., 2:] / 2.0
+    radii = np.clip(boxes[..., 2:].max(-1) * 0.6 + 4.0, 10.0, 250.0)
+    valid = scores > score_threshold
+    return centers, radii, valid
+
+
+def blur_faces_auto(frames, keypoints=None, detector=None,
+                    threshold: float = 0.3):
+    """Privacy blur with detector fallback: frames whose keypoints yield no
+    valid face region (pose net missed the person, or no keypoints at all)
+    are covered by the face detector instead — so the privacy guarantee
+    never rests on pose estimation succeeding."""
+    frames = np.asarray(frames)
+    if keypoints is not None:
+        centers, radii, valid = face_regions_from_keypoints(keypoints, threshold)
+        missed = ~valid.any(axis=1)
+    else:
+        B = len(frames)
+        centers = np.zeros((B, 1, 2), np.float32)
+        radii = np.zeros((B, 1), np.float32)
+        valid = np.zeros((B, 1), bool)
+        missed = np.ones(B, bool)
+    if missed.any():
+        dc, dr, dv = face_regions_from_detector(frames, detector)
+        dv = dv & missed[:, None]          # only where keypoints failed
+        centers = np.concatenate([centers, dc], axis=1)
+        radii = np.concatenate([radii, dr], axis=1)
+        valid = np.concatenate([valid, dv], axis=1)
+    return np.asarray(gaussian_blur_regions(
+        jnp.asarray(frames), jnp.asarray(centers, jnp.float32),
+        jnp.asarray(radii, jnp.float32), jnp.asarray(valid)))

@@ -114,8 +114,11 @@ def eval_lifter(model, n_seqs=8, frames=128, seed=200):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--steps", type=int, default=4000,
+                    help="detector/top-down steps (device-resident trainer)")
     ap.add_argument("--lifter-steps", type=int, default=400)
+    ap.add_argument("--ae-steps", type=int, default=300,
+                    help="AE bottom-up steps (host-rendered fixtures)")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--out-dir", default="weights")
     ap.add_argument("--report", default="ACCURACY.md")
@@ -154,17 +157,18 @@ def main():
     ]
 
     # ---- 2D pipeline ----
+    # device-resident training (train.fit_device + synthjax): batches render
+    # ON the TPU from PRNG keys and steps run as lax.scan programs, so step
+    # counts are 10-100× the old host trainers' for the same wall clock
+    # (round 2 was capped at 300 host-fed steps → PCK 0.46, undertrained)
     t0 = time.time()
-    # 240x320: the TPU tunnel is transfer-bound (~2 MB/s); quarter-size
-    # frames cut per-step latency 25 s -> 1.1 s with no protocol change
     det = PersonDetector(DetectorConfig(max_detections=8), input_hw=(240, 320))
     dt = DetectorTrainer(det)
-    dl = dt.fit_synthetic(steps=args.steps, batch=args.batch, hw=(240, 320),
-                          log_every=max(args.steps // 5, 1))
+    dl = dt.fit_device(steps=args.steps, batch=args.batch, hw=(240, 320),
+                       log_every=1)
     td = TopDownModel(TOPDOWN_CONFIGS["MMPose"])
     tt = TopDownTrainer(td)
-    tl = tt.fit_synthetic(steps=args.steps, batch=args.batch,
-                          log_every=max(args.steps // 5, 1))
+    tl = tt.fit_device(steps=args.steps, batch=args.batch, log_every=1)
     train2d_s = time.time() - t0
 
     # save BEFORE eval so a crash never loses a training run
@@ -219,14 +223,14 @@ def main():
 
     ae = AEBottomUpModel(BottomUpConfig(widths=(16, 32, 64, 128)))
     at = AETrainer(ae)
-    al = at.fit_synthetic(steps=args.steps, batch=8,
-                          log_every=max(args.steps // 5, 1))
+    al = at.fit_synthetic(steps=args.ae_steps, batch=8,
+                          log_every=max(args.ae_steps // 5, 1))
     pck_ae = eval_bottomup_ae(ae)
     save_params(os.path.join(args.out_dir, "bottomup__AEBottomUp.npz"), ae.params)
     report += [
         "## Bottom-up AE (multi-person, detector-free)",
         "",
-        f"- training: {args.steps} steps (heatmap MSE + tag pull/push),"
+        f"- training: {args.ae_steps} steps (heatmap MSE + tag pull/push),"
         f" {time.time()-t0:.0f} s; loss {al[0]:.2f}→{al[-1]:.2f}",
         f"- held-out eval (2-person frames, proximity-matched):"
         f" **PCK@0.2 {pck_ae:.3f}**",

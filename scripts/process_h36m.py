@@ -20,12 +20,60 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 
+def import_raw_dataset(data_dir: str):
+    """Import the RAW H3.6M layout (Subject/Videos/*.mp4 + Poses_D* CDFs —
+    the same directory walk as the reference, demo/h36_dj.py:118-213) using
+    the official hardcoded camera calibration (demo/h36m_cameras.py).
+
+    Requires a CDF reader (spacepy or cdflib); 2D GT is taken from the
+    official per-camera CDFs and 3D world GT converted per camera."""
+    from datetime import datetime
+
+    from posepipeline_tpu.demo.h36m import (H36MActivity, H36MActivityView,
+                                            H36MSubject, world_to_camera)
+    from posepipeline_tpu.demo.h36m_cameras import (H36M_CAMERA_NAMES,
+                                                    get_camera, poses32_to_17,
+                                                    read_cdf_pose,
+                                                    scan_raw_layout)
+    from posepipeline_tpu.pipeline import Video
+
+    entries = []
+    for rec in scan_raw_layout(data_dir):
+        subject = rec["subject"]
+        activity = f"{rec['activity']}_{rec['trial']}"
+        camera_id = H36M_CAMERA_NAMES.index(rec["camera"]) + 1
+        H36MSubject.insert1({"subject": subject}, skip_duplicates=True)
+        kp3d_world = poses32_to_17(read_cdf_pose(rec["cdf_3d"])) / 1000.0
+        kp2d = poses32_to_17(read_cdf_pose(rec["cdf_2d"]))
+        cam = get_camera(subject, rec["camera"])
+        # camera-frame GT in meters (calibration is in millimeters)
+        kp3d_cam = world_to_camera(kp3d_world * 1000.0, cam) / 1000.0
+        filename = os.path.basename(rec["video"])
+        H36MActivity.insert1({"subject": subject, "activity": activity,
+                              "keypoints3d_world": kp3d_world},
+                             skip_duplicates=True)
+        Video.insert1(dict(video_project="h36m", filename=filename,
+                           video=rec["video"], start_time=datetime(2026, 1, 1)),
+                      skip_duplicates=True)
+        H36MActivityView.insert1(
+            {"subject": subject, "activity": activity, "camera_id": camera_id,
+             "video_project": "h36m", "filename": filename,
+             "keypoints2d": kp2d, "keypoints3d": kp3d_cam, "camera": cam},
+            skip_duplicates=True)
+        entries.append({"video_project": "h36m", "filename": filename,
+                        "subject": subject, "activity": activity,
+                        "camera_id": camera_id})
+    return entries
+
+
 def import_ground_truth(data_dir: str):
     """Load GT (subject, activity, camera) triples from pre-extracted npz files.
 
     Expected layout: ``{data_dir}/{subject}/{activity}.{camera_id}.npz`` with
     arrays ``keypoints2d (T, 17, 2)``, ``keypoints3d (T, 17, 3)``, optional
-    camera dict entries, and ``video`` (path to the mp4).
+    camera dict entries, and ``video`` (path to the mp4). For the raw
+    dataset layout (Videos/ + Poses_D* CDFs) see ``import_raw_dataset``;
+    the driver auto-detects which layout ``--data-dir`` holds.
     """
     from posepipeline_tpu.demo.h36m import H36MActivity, H36MActivityView, H36MSubject
     from posepipeline_tpu.pipeline import Video
@@ -75,8 +123,13 @@ def main():
     from posepipeline_tpu.demo.h36m import H36MActivityView, mpjpe, p_mpjpe, pck_bbox_normalized
     from posepipeline_tpu.pipeline import LiftingPerson, PersonBbox, TopDownPerson
 
-    entries = import_ground_truth(args.data_dir)
-    print(f"imported {len(entries)} H36M views")
+    # auto-detect layout: raw dataset dirs contain Subject/Videos
+    raw = any(os.path.isdir(os.path.join(args.data_dir, d, "Videos"))
+              for d in os.listdir(args.data_dir)
+              if os.path.isdir(os.path.join(args.data_dir, d)))
+    entries = (import_raw_dataset if raw else import_ground_truth)(args.data_dir)
+    print(f"imported {len(entries)} H36M views "
+          f"({'raw CDF' if raw else 'pre-extracted npz'} layout)")
 
     results = []
     for e in entries:

@@ -152,6 +152,123 @@ def convert_videopose3d(torch_state: Dict[str, np.ndarray]) -> Dict:
     return out
 
 
+def _conv2d_bn(state: Dict[str, np.ndarray], conv: str, bn: str) -> Dict:
+    """torch Conv2d + BatchNorm2d → one biased flax Conv (BN folded)."""
+    p = t2f_conv2d(state[f"{conv}.weight"], state.get(f"{conv}.bias"))
+    kernel, bias = fold_batchnorm_into_conv(
+        p["kernel"], p.get("bias"),
+        state[f"{bn}.weight"], state[f"{bn}.bias"],
+        state[f"{bn}.running_mean"], state[f"{bn}.running_var"])
+    return {"kernel": kernel, "bias": bias}
+
+
+def convert_hrnet(torch_state: Dict[str, np.ndarray],
+                  consumed: set | None = None) -> Dict:
+    """Map an mmpose HRNet top-down state dict (``backbone.*`` HRNet +
+    ``keypoint_head.final_layer``) onto models/hrnet.py HRNetHeatmap.
+
+    The reference's flagship checkpoints are exactly this family (HRNet-W48
+    DARK COCO/WholeBody/Halpe — reference wrappers/mmpose.py:26-44,
+    INSTALL.md:28-37). Stage/module/branch counts are discovered from the
+    key set, so W32/W48 and any stage config convert with one code path.
+    Every BatchNorm is folded into its conv (the flax net is stat-free).
+
+    ``consumed`` (optional set) collects every torch key the mapping read —
+    the golden test asserts nothing load-bearing was silently dropped.
+    """
+    raw = torch_state
+    s = raw
+    if consumed is not None:
+        class _Track(dict):
+            def __getitem__(self, k):
+                consumed.add(k)
+                return raw[k]
+
+            def get(self, k, default=None):
+                if k in raw:
+                    consumed.add(k)
+                    return raw[k]
+                return default
+
+            def __contains__(self, k):
+                return k in raw
+
+            def __iter__(self):
+                return iter(raw)
+
+        s = _Track()
+
+    def cbn(conv, bn):
+        return _conv2d_bn(s, f"backbone.{conv}", f"backbone.{bn}")
+
+    out: Dict = {
+        "conv1": cbn("conv1", "bn1"),
+        "conv2": cbn("conv2", "bn2"),
+    }
+    # layer1: 4 bottlenecks; block 0 carries the 64→256 downsample
+    n_l1 = len({k.split(".")[2] for k in s if k.startswith("backbone.layer1.")})
+    for n in range(n_l1):
+        blk = {
+            "conv1": cbn(f"layer1.{n}.conv1", f"layer1.{n}.bn1"),
+            "conv2": cbn(f"layer1.{n}.conv2", f"layer1.{n}.bn2"),
+            "conv3": cbn(f"layer1.{n}.conv3", f"layer1.{n}.bn3"),
+        }
+        if f"backbone.layer1.{n}.downsample.0.weight" in s:
+            blk["downsample"] = cbn(f"layer1.{n}.downsample.0",
+                                    f"layer1.{n}.downsample.1")
+        out[f"layer1_{n}"] = blk
+    # transition1: branch 0 re-channels (Sequential(conv, bn)), branch 1 is
+    # the new stride-2 branch (nested Sequential)
+    out["transition1_0"] = cbn("transition1.0.0", "transition1.0.1")
+    out["transition1_1"] = cbn("transition1.1.0.0", "transition1.1.0.1")
+
+    stage_ids = sorted({int(k.split(".")[1][len("stage"):])
+                        for k in s if k.startswith("backbone.stage")})
+    for si in stage_ids:
+        if si > 2:
+            # new-branch transition (other slots are identity/None in torch)
+            t = si - 1
+            b = si - 1
+            out[f"transition{t}_{b}"] = cbn(f"transition{t}.{b}.0.0",
+                                            f"transition{t}.{b}.0.1")
+        modules = sorted({int(k.split(".")[2]) for k in s
+                          if k.startswith(f"backbone.stage{si}.")})
+        last_stage = si == stage_ids[-1]
+        for m in modules:
+            pre = f"stage{si}.{m}"
+            mod: Dict = {}
+            branches = sorted({int(k.split(".")[4]) for k in s
+                               if k.startswith(f"backbone.{pre}.branches.")})
+            for b in branches:
+                blocks = sorted({int(k.split(".")[5]) for k in s
+                                 if k.startswith(f"backbone.{pre}.branches.{b}.")})
+                for n in blocks:
+                    bp = f"{pre}.branches.{b}.{n}"
+                    mod[f"branch{b}_block{n}"] = {
+                        "conv1": cbn(f"{bp}.conv1", f"{bp}.bn1"),
+                        "conv2": cbn(f"{bp}.conv2", f"{bp}.bn2"),
+                    }
+            # fusion: the very last module only feeds branch 0 (the head
+            # input) — its fuse_layers.1+ exist in the checkpoint but are
+            # dead weight for inference and are skipped
+            n_out = 1 if (last_stage and m == modules[-1]) else len(branches)
+            for i in range(n_out):
+                for j in range(len(branches)):
+                    if j == i:
+                        continue
+                    fp = f"{pre}.fuse_layers.{i}.{j}"
+                    if j > i:  # 1×1 conv + BN (+ upsample, weightless)
+                        mod[f"fuse_{i}_{j}_0"] = cbn(f"{fp}.0", f"{fp}.1")
+                    else:      # chain of stride-2 convs
+                        for k in range(i - j):
+                            mod[f"fuse_{i}_{j}_{k}"] = cbn(f"{fp}.{k}.0",
+                                                           f"{fp}.{k}.1")
+            out[f"stage{si}_{m}"] = mod
+    head = t2f_conv2d(s["keypoint_head.final_layer.weight"],
+                      s.get("keypoint_head.final_layer.bias"))
+    return {"params": {"backbone": out, "final_layer": head}}
+
+
 def t2f_conv_transpose2d(weight, bias=None):
     """torch ConvTranspose2d (I, O, kh, kw) → flax ConvTranspose with
     ``transpose_kernel=True`` (kernel layout (kh, kw, O, I) — the
@@ -228,7 +345,8 @@ def trim_pos_embed(pos: np.ndarray, num_patches: int) -> np.ndarray:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", required=True, help="torch checkpoint (.pth)")
-    ap.add_argument("--arch", required=True, choices=["vitpose", "videopose3d"])
+    ap.add_argument("--arch", required=True,
+                    choices=["vitpose", "videopose3d", "hrnet"])
     ap.add_argument("--out", required=True, help="output .npz")
     args = ap.parse_args()
 
@@ -241,6 +359,8 @@ def main():
 
     if args.arch == "videopose3d":
         params = convert_videopose3d(state)
+    elif args.arch == "hrnet":
+        params = convert_hrnet(state)
     elif any(k.startswith("backbone.") for k in state):
         params = convert_vitpose(state)
     else:
