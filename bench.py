@@ -25,6 +25,12 @@ import numpy as np
 def main():
     import jax
 
+    # serve the shipped trained weights (registry auto-load) so the benched
+    # pipeline produces meaningful keypoints, not random-init output
+    os.environ.setdefault(
+        "PPT_WEIGHTS_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights"))
+
     from posepipeline_tpu.models.init_util import enable_compilation_cache
     from posepipeline_tpu.hostmem import prefault_arena
 

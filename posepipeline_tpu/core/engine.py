@@ -730,13 +730,21 @@ class QueryExpression:
         for row in self._rows(raw_attach=True, cols=self.primary_key):
             yield {k: row[k] for k in self.primary_key}
 
-    def fetch(self, *attrs, order_by: Optional[str] = None, limit: Optional[int] = None,
+    def fetch(self, *attrs, order_by=None, limit: Optional[int] = None,
               as_dict: bool = False, **_ignored):
         rows = self._rows(raw_attach=True)
         if order_by:
-            desc = order_by.strip().lower().endswith(" desc")
-            col = order_by.split()[0]
-            rows.sort(key=lambda r: (r.get(col) is None, r.get(col)), reverse=desc)
+            # DataJoint accepts "a", "a DESC", "a, b desc", or a list of
+            # such terms; apply them right-to-left so the leftmost term is
+            # the primary sort (Python sorts are stable)
+            terms = ([t for part in order_by for t in str(part).split(",")]
+                     if isinstance(order_by, (list, tuple))
+                     else str(order_by).split(","))
+            for term in reversed([t.strip() for t in terms if t.strip()]):
+                desc = term.lower().endswith(" desc")
+                col = term.split()[0]
+                rows.sort(key=lambda r: (r.get(col) is None, r.get(col)),
+                          reverse=desc)
         if limit is not None:
             rows = rows[:limit]
         if not attrs:
@@ -1188,6 +1196,19 @@ class AutoPopulate(Table):
             if h not in seen:
                 seen.add(h)
                 uniq.append(k)
+        if order is not None:
+            # DataJoint populate(order=...): "original" (key_source order),
+            # "reverse", or "random" — honored instead of silently ignored
+            if order == "reverse":
+                uniq.reverse()
+            elif order == "random":
+                import random
+
+                random.shuffle(uniq)
+            elif order != "original":
+                raise ValueError(
+                    f"populate(order={order!r}): expected 'original', "
+                    "'reverse', or 'random'")
         if limit is not None:
             uniq = uniq[:limit]
         errors = []

@@ -211,6 +211,7 @@ class LiftingModel:
             self.net = SingleFrameLifter(cfg)
         else:
             self.net = TransformerLifter(cfg)
+        self.weights_loaded = params is not None or bool(params_path)
         if params is None:
             dummy = jnp.zeros((1, max(cfg.receptive_field, 8), cfg.in_joints * 2), jnp.float32)
             from .init_util import init_on_cpu

@@ -147,17 +147,26 @@ class MeshRecoveryModel:
     """Bundled regressor + body model: crops → SMPL sequence outputs."""
 
     def __init__(self, method: str = "VIBE", params=None, seed: int = 0,
-                 crop_hw: Tuple[int, int] = (224, 224)):
+                 crop_hw: Tuple[int, int] = (224, 224), params_path=None):
         self.cfg = MESH_METHOD_CONFIGS[method]
         self.net = MeshRegressorNet(self.cfg)
         self.crop_hw = crop_hw
         # Expose/PIXIE regress the SMPL-X family (reference model_type
         # "SMPL-X", pipeline.py:1591,1605); the rest regress SMPL
         self.body = BodyModel(model=self.cfg.body)
+        self.weights_loaded = params is not None
         if params is None:
             dummy = jnp.zeros((2, *crop_hw, 3), jnp.float32)
             from .init_util import init_on_cpu
             params = init_on_cpu(self.net.init, jax.random.PRNGKey(seed), dummy)
+            from .params_io import (commit_to_default, load_params,
+                                    merge_params, registry_weights_path)
+
+            path = params_path or registry_weights_path("mesh", method)
+            if path:
+                params = commit_to_default(
+                    merge_params(params, load_params(path)))
+                self.weights_loaded = True
         self.params = params
 
     @functools.partial(jax.jit, static_argnums=0)

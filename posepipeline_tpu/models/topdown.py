@@ -144,6 +144,7 @@ def get_topdown_model(name: str, params_path=None) -> TopDownModel:
     if cache_key not in _model_cache:
         cfg = TOPDOWN_CONFIGS[name]
         model = TopDownModel(cfg)
+        model.weights_loaded = bool(path)
         if path:
             from .params_io import commit_to_default
 

@@ -13,6 +13,13 @@ tie-breaking can differ between Mosaic and XLA due to excess-precision max
 reductions — irrelevant for real heatmaps, which are peaked by construction.
 The jnp implementation remains the portable fallback (CPU tests run the
 kernel in interpreter mode).
+
+PRODUCTION DEFAULT: the streaming runtime (runtime/stream.py) and every
+pipeline table decode through ``ops.heatmap.decode_heatmaps`` — the XLA
+path — because inside the fused pose program XLA already fuses the decode
+with the surrounding net and the HBM-intermediate argument above no longer
+applies; the Pallas kernel is for standalone decode at scale. The contract
+is pinned by tests/test_ops.py::test_production_decode_is_xla_path.
 """
 
 from __future__ import annotations

@@ -397,13 +397,18 @@ class NativeStreamingRunner:
         kp_bufs: Dict[int, object] = {}
 
         work_q: queue.Queue = queue.Queue()
-        # crop→dispatch hand-off: bounded so pose dispatch backpressures crops
-        pose_q: queue.Queue = queue.Queue(maxsize=self.max_inflight_pose)
         worker_error: list = []
         q_samples: list = []  # producer-side queue depth (pipeline occupancy)
         lift_results: Dict[int, tuple] = {}
 
         def process(entry):
+            """Consumer step per chunk: box fetch (link wait, GIL-free),
+            C++ crop, pose-program dispatch with device-side keypoint
+            accumulation. One consumer thread total — on a single-core host
+            extra pipeline threads only add GIL churn (measured: a separate
+            dispatch thread cost ~15 fps e2e); the per-chunk budget here
+            (~50 ms) stays under the decoder's (~70 ms), so the decode
+            thread never waits on it."""
             vid, refs, n, fut, offset = entry
             try:
                 with metrics.StageTimer("native.fetch_boxes", frames=n):
@@ -426,61 +431,34 @@ class NativeStreamingRunner:
             results[vid]["boxes"].append(boxes[:n])
             results[vid]["scores"].append(scores[:n])
             results[vid]["frames"] += n
-            # bounded put that aborts if the dispatcher died
-            while True:
-                try:
-                    pose_q.put((vid, crops, fixed, n, offset), timeout=1.0)
-                    break
-                except queue.Full:
-                    if worker_error:
-                        raise worker_error[0]
+            buf = kp_bufs.get(vid)
+            if buf is None or offset + C > buf.shape[0]:
+                # first chunk, or a container whose nb_frames lied: (re)grow.
+                # jnp.zeros is lazy device-side.
+                grow = max(offset + C,
+                           2 * (buf.shape[0] if buf is not None else 0))
+                new = jnp.zeros((grow, J, 3), jnp.float32)
+                if buf is not None:
+                    new = jax.lax.dynamic_update_slice(new, buf, (0, 0, 0))
+                buf = new
+            with metrics.StageTimer("native.pose_dispatch", frames=n):
+                kp_bufs[vid] = est._pose_accum(
+                    est.topdown.params, jnp.asarray(crops),
+                    jnp.asarray(fixed), buf, offset)
 
-        def dispatcher():
-            """Last pipeline stage: the crop host→device transfer + pose
-            dispatch (~2 MB/chunk through the device link) runs off the
-            crop/box thread so neither it nor the decoder ever waits on it.
-            At each end-of-video marker the finished video's keypoints are
-            fetched and its 3D lift dispatched HERE — overlapping the next
-            video's decode instead of serializing at drain time."""
-            try:
-                while True:
-                    entry = pose_q.get()
-                    if entry is None:
-                        break
-                    if entry[0] == "eov":
-                        vid = entry[1]
-                        nf = results[vid]["frames"]
-                        if lift and self.lifter is not None and nf \
-                                and vid in kp_bufs:
-                            with metrics.StageTimer("native.fetch_kp",
-                                                    frames=nf):
-                                kp = np.asarray(kp_bufs[vid])[:nf]
-                            with metrics.StageTimer("lift_3d", frames=nf):
-                                info = video_info(video_paths[vid])
-                                kp3d, valid3 = self.lifter(
-                                    kp, info["width"], info["height"])
-                            lift_results[vid] = (kp, np.asarray(kp3d),
-                                                 np.asarray(valid3))
-                        continue
-                    vid, crops, fixed, n, offset = entry
-                    buf = kp_bufs.get(vid)
-                    if buf is None or offset + C > buf.shape[0]:
-                        # first chunk, or a container whose nb_frames lied:
-                        # (re)grow. jnp.zeros is lazy device-side.
-                        grow = max(offset + C,
-                                   2 * (buf.shape[0] if buf is not None else 0))
-                        new = jnp.zeros((grow, J, 3), jnp.float32)
-                        if buf is not None:
-                            new = jax.lax.dynamic_update_slice(new, buf,
-                                                               (0, 0, 0))
-                        buf = new
-                    with metrics.StageTimer("native.pose_dispatch", frames=n):
-                        kp_bufs[vid] = est._pose_accum(
-                            est.topdown.params, jnp.asarray(crops),
-                            jnp.asarray(fixed), buf, offset)
-            except Exception as e:  # noqa: BLE001 - surfaced in main thread
-                worker_error.append(e)
-                inflight.release()
+        def finish_video(vid):
+            """End-of-video: fetch the accumulated keypoints and lift —
+            overlapping the next video's decode instead of serializing at
+            drain time."""
+            nf = results[vid]["frames"]
+            if lift and self.lifter is not None and nf and vid in kp_bufs:
+                with metrics.StageTimer("native.fetch_kp", frames=nf):
+                    kp = np.asarray(kp_bufs[vid])[:nf]
+                with metrics.StageTimer("lift_3d", frames=nf):
+                    info = video_info(video_paths[vid])
+                    kp3d, valid3 = self.lifter(kp, info["width"],
+                                               info["height"])
+                lift_results[vid] = (kp, np.asarray(kp3d), np.asarray(valid3))
 
         def worker():
             try:
@@ -489,13 +467,7 @@ class NativeStreamingRunner:
                     if entry is None:
                         break
                     if entry[0] == "eov":
-                        while True:
-                            try:
-                                pose_q.put(entry, timeout=1.0)
-                                break
-                            except queue.Full:
-                                if worker_error:
-                                    raise worker_error[0]
+                        finish_video(entry[1])
                         continue
                     process(entry)
             except Exception as e:  # noqa: BLE001 - surfaced in main thread
@@ -504,8 +476,6 @@ class NativeStreamingRunner:
 
         wt = threading.Thread(target=worker, daemon=True)
         wt.start()
-        dt = threading.Thread(target=dispatcher, daemon=True)
-        dt.start()
 
         import time as _time
 
@@ -563,17 +533,6 @@ class NativeStreamingRunner:
         finally:
             work_q.put(None)
             wt.join()
-            # deliver the dispatcher sentinel even if it died with a full queue
-            while True:
-                try:
-                    pose_q.put_nowait(None)
-                    break
-                except queue.Full:
-                    try:
-                        pose_q.get_nowait()
-                    except queue.Empty:
-                        pass
-            dt.join()
         if worker_error:
             raise worker_error[0]
         # prefetch-pipeline occupancy: >0 mean means the consumer had work

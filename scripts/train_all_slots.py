@@ -159,6 +159,22 @@ def main():
         save(f"bridging__{bm.cfg.name}", bm.params)
         print(f"bridging: loss {losses[0]:.4f}->{losses[-1]:.4f}")
 
+    # ---- mesh regressors (all 8 SMPLMethodLookup slots) ----------------
+    if want("mesh"):
+        from posepipeline_tpu.models.meshregressor import (MESH_METHOD_CONFIGS,
+                                                           MeshRecoveryModel)
+        from posepipeline_tpu.train import MeshTrainer
+
+        for name in MESH_METHOD_CONFIGS:
+            t0 = time.time()
+            model = MeshRecoveryModel(name)  # warm-starts from registry if present
+            tr = MeshTrainer(model)
+            losses = tr.fit_device(steps=max(steps // 4, 20), batch=8,
+                                   log_every=1)
+            save(f"mesh__{name}", model.params)
+            print(f"mesh {name}: loss {losses[0]:.4f}->{losses[-1]:.4f}, "
+                  f"{time.time()-t0:.0f}s")
+
     # ---- remaining lifters (PoseAug / RIE / PoseFormer slots) ----------
     if want("lifters"):
         from posepipeline_tpu.models.lifting import LiftingModel

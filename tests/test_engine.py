@@ -388,3 +388,69 @@ def test_restriction_by_disjoint_expression(schema):
     Right.insert1({"right_id": 9})
     assert len(Left & Right) == 3          # Right nonempty -> all match
     assert len(Left - Right) == 0          # antijoin mirror
+
+
+def test_fetch_multi_column_order_by(schema):
+    """order_by accepts multiple columns ("a, b desc" or a list) — ported
+    notebooks rely on DataJoint's multi-term sorting."""
+    from posepipeline_tpu.core.engine import Manual
+
+    @schema
+    class Ordered(Manual):
+        definition = """
+        oid: int
+        ---
+        grp: int
+        val: int
+        """
+
+    rows = [
+        {"oid": 0, "grp": 1, "val": 5},
+        {"oid": 1, "grp": 0, "val": 9},
+        {"oid": 2, "grp": 1, "val": 7},
+        {"oid": 3, "grp": 0, "val": 3},
+    ]
+    Ordered.insert(rows)
+    got = Ordered().fetch("oid", order_by="grp, val desc")
+    assert list(got) == [1, 3, 2, 0]
+    got2 = Ordered().fetch("oid", order_by=["grp", "val desc"])
+    assert list(got2) == [1, 3, 2, 0]
+
+
+def test_populate_order(schema):
+    """populate(order=...) is honored: 'reverse' computes keys backwards,
+    'random' still computes them all, bad values raise."""
+    import pytest
+
+    from posepipeline_tpu.core.engine import Computed, Manual
+
+    order_seen = []
+
+    @schema
+    class Src(Manual):
+        definition = """
+        sid: int
+        """
+
+    @schema
+    class Out(Computed):
+        definition = """
+        -> Src
+        ---
+        double: int
+        """
+
+        def make(self, key):
+            order_seen.append(key["sid"])
+            self.insert1(dict(key, double=key["sid"] * 2))
+
+    Src.insert([{"sid": i} for i in range(4)])
+    Out.populate(order="reverse")
+    assert order_seen == [3, 2, 1, 0]
+    assert len(Out()) == 4
+    (Out() & "sid >= 0").delete()
+    order_seen.clear()
+    Out.populate(order="random")
+    assert sorted(order_seen) == [0, 1, 2, 3]
+    with pytest.raises(ValueError):
+        Out.populate(order="sideways")

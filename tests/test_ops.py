@@ -303,3 +303,13 @@ def test_draw_boxes():
     assert tuple(out[0, 10, 20])[:2] == (255, 255)   # top edge
     assert tuple(out[0, 30, 20])[:2] == (255, 255)   # bottom edge
     assert tuple(out[0, 20, 20]) == (0, 0, 0)        # interior untouched
+
+
+def test_production_decode_is_xla_path():
+    """The streaming runtime decodes through ops.heatmap.decode_heatmaps
+    (the XLA path that fuses into the pose program); the Pallas kernel is
+    the standalone-decode alternative. Pin it so the default never changes
+    silently (see ops/pallas_kernels.py module doc)."""
+    import posepipeline_tpu.runtime.stream as stream
+
+    assert stream.decode_heatmaps is HM.decode_heatmaps
