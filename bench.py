@@ -73,10 +73,12 @@ def main():
         chunk = int(os.environ.get("BENCH_CHUNK", "32"))
         det_interval = int(os.environ.get("BENCH_DET_INTERVAL", "4"))
         buffers = int(os.environ.get("BENCH_BUFFERS", "6"))
+        fast_decode = os.environ.get("BENCH_FAST_DECODE", "0") == "1"
         est = I420PoseEstimator(input_hw=(height, width),
                                 det_interval=det_interval)
         runner = NativeStreamingRunner(estimator=est, lifter=lifter,
-                                       chunk_frames=chunk, num_buffers=buffers)
+                                       chunk_frames=chunk, num_buffers=buffers,
+                                       fast_decode=fast_decode)
         # warmup: compile the detect/pose programs at bench shapes + decode
         # one video once (first decode of a freshly-encoded file pays cold
         # file-cache costs; clinical videos are not freshly encoded)

@@ -60,6 +60,8 @@ def _load():
         c = ctypes
         lib.mdec_open.restype = c.c_void_p
         lib.mdec_open.argtypes = [c.c_char_p, c.c_int]
+        lib.mdec_open2.restype = c.c_void_p
+        lib.mdec_open2.argtypes = [c.c_char_p, c.c_int, c.c_int]
         lib.mdec_width.restype = c.c_int
         lib.mdec_width.argtypes = [c.c_void_p]
         lib.mdec_height.restype = c.c_int
@@ -117,14 +119,16 @@ class NativeVideoReader:
     on device.
     """
 
-    def __init__(self, path: str, threads: int = -1):
+    def __init__(self, path: str, threads: int = -1,
+                 fast_decode: bool = False):
         lib = _load()
         if lib is None:
             raise RuntimeError("native media library unavailable")
         self._lib = lib
         if threads < 0:
             threads = 1 if (os.cpu_count() or 1) == 1 else 0  # 0 = ffmpeg picks
-        self._h = lib.mdec_open(path.encode(), threads)
+        self._h = lib.mdec_open2(path.encode(), threads,
+                                 1 if fast_decode else 0)
         if not self._h:
             raise IOError(f"mdec_open failed for {path!r}")
         self.width = lib.mdec_width(self._h)

@@ -360,7 +360,7 @@ class NativeStreamingRunner:
     def __init__(self, estimator: Optional[I420PoseEstimator] = None,
                  lifter: Optional[LiftingModel] = None,
                  chunk_frames: int = 32, max_inflight_pose: int = 4,
-                 num_buffers: int = 6):
+                 num_buffers: int = 6, fast_decode: bool = False):
         # chunk 32 is the measured sweet spot on the 1-core + remote-link
         # bench host: per-chunk round-trip stalls shrink with chunk size
         # until fixed dispatch overhead dominates
@@ -370,6 +370,11 @@ class NativeStreamingRunner:
         self.chunk_frames = int(chunk_frames)
         self.max_inflight_pose = int(max_inflight_pose)
         self.num_buffers = max(int(num_buffers), 3)
+        # skip the h264 in-loop deblocking filter during decode (ffmpeg
+        # -skip_loop_filter all). Off by default: it perturbs pixels
+        # slightly; the measured accuracy cost on the committed protocol
+        # is documented in PERF.md before anyone flips it on.
+        self.fast_decode = bool(fast_decode)
 
     def run(self, video_paths: List[str], lift: bool = True) -> List[Dict]:
         from ..native import media
@@ -481,7 +486,8 @@ class NativeStreamingRunner:
 
         try:
             for vid, path in enumerate(video_paths):
-                reader = media.NativeVideoReader(path)
+                reader = media.NativeVideoReader(path,
+                                                 fast_decode=self.fast_decode)
                 # the compiled programs are sized for est.input_hw — refuse
                 # mismatched videos loudly (BucketedStreamingRunner groups
                 # mixed-resolution fleets into per-size runners)

