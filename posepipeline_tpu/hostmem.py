@@ -43,11 +43,38 @@ def configure_allocator() -> bool:
         return False
 
 
-def prefault_arena(num_bytes: int = 1 << 30) -> None:
-    """Touch ``num_bytes`` of heap once so steady-state never page-faults."""
+def prefault_arena(num_bytes: int = 1 << 30,
+                   budget_s: float = 60.0) -> int:
+    """Touch up to ``num_bytes`` of heap once so steady-state never
+    page-faults. Returns the number of bytes actually faulted.
+
+    Two hard-won rules from the virtualized bench host:
+
+    - Fault densely (sequential whole-page writes via ``fill``), never a
+      one-byte-per-page strided loop: strided first-touch forfeits the
+      kernel's fault-around batching and pays a full VM exit per page
+      (measured 1.7 ms/page vs ~250 µs/page dense on cold frames — a 2 GB
+      strided prefault took 15 minutes).
+    - Bound the work by wall clock, not just size: faulting guest-physical
+      frames the VM has never touched goes through the hypervisor and its
+      cost varies 70 µs → 1.7 ms per page with host memory pressure. The
+      prefault is an optimization; it must never become the startup wall.
+      Steady-state buffers are warmed by the caller's warmup pass anyway —
+      the arena only widens coverage for allocation-pattern variance.
+    """
+    import time
+
     import numpy as np
 
     configure_allocator()
     arena = np.empty(num_bytes, np.uint8)
-    arena[:: 4096] = 1  # one write per page
+    slab = 64 << 20
+    t0 = time.perf_counter()
+    done = 0
+    for off in range(0, num_bytes, slab):
+        arena[off:off + slab].fill(1)
+        done = min(off + slab, num_bytes)
+        if time.perf_counter() - t0 > budget_s:
+            break
     del arena
+    return done
