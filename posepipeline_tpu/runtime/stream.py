@@ -241,6 +241,19 @@ class BandwidthOptimizedPoseEstimator:
         return boxes, scores, kp
 
 
+def _copy_async(fut) -> None:
+    """Start streaming a device array's bytes to the host without blocking.
+
+    jax.Array.copy_to_host_async() begins the D2H transfer immediately; the
+    later np.asarray() then finds the literal already host-side and returns
+    without a link round trip. Best-effort: backends without the method just
+    pay the normal blocking fetch."""
+    try:
+        fut.copy_to_host_async()
+    except AttributeError:
+        pass
+
+
 def _fix_aspect_np(bbox, dilate: float = 1.2, ratio: float = 1.0):
     """Host-side twin of ops.boxes.fix_aspect_ratio (same math, numpy)."""
     bbox = np.asarray(bbox, np.float64)
@@ -360,7 +373,8 @@ class NativeStreamingRunner:
     def __init__(self, estimator: Optional[I420PoseEstimator] = None,
                  lifter: Optional[LiftingModel] = None,
                  chunk_frames: int = 32, max_inflight_pose: int = 4,
-                 num_buffers: int = 6, fast_decode: bool = False):
+                 num_buffers: int = 6, fast_decode: bool = False,
+                 mode: str = "auto"):
         # chunk 32 is the measured sweet spot on the 1-core + remote-link
         # bench host: per-chunk round-trip stalls shrink with chunk size
         # until fixed dispatch overhead dominates
@@ -371,10 +385,31 @@ class NativeStreamingRunner:
         self.max_inflight_pose = int(max_inflight_pose)
         self.num_buffers = max(int(num_buffers), 3)
         # skip the h264 in-loop deblocking filter during decode (ffmpeg
-        # -skip_loop_filter all). Off by default: it perturbs pixels
-        # slightly; the measured accuracy cost on the committed protocol
-        # is documented in PERF.md before anyone flips it on.
+        # -skip_loop_filter all). Off by default: it measures SLOWER on the
+        # bench content (405 vs 464 fps decode-only — the filter-skip path
+        # defeats some libavcodec fast paths) and perturbs pixels slightly.
         self.fast_decode = bool(fast_decode)
+        # pipeline schedule: "threads" = producer/consumer pair (hides link
+        # waits behind the decode thread; costs GIL churn), "single" = one
+        # thread with software pipelining (chunk i's box fetch is deferred
+        # until chunk i+1 has decoded, with copy_to_host_async() streaming
+        # the result back in the meantime — no wait AND no GIL churn).
+        # "auto" picks single on 1-2 core hosts where a second Python
+        # thread costs more than it hides (measured: two-thread host-only
+        # pipeline 308 fps vs 343 single on the 1-core bench host).
+        if mode not in ("auto", "single", "threads"):
+            raise ValueError(f"mode must be auto|single|threads, got {mode!r}")
+        self.mode = mode
+
+    def _resolved_mode(self) -> str:
+        import os
+
+        env = os.environ.get("PPT_STREAM_MODE")
+        if env in ("single", "threads"):
+            return env
+        if self.mode != "auto":
+            return self.mode
+        return "single" if (os.cpu_count() or 1) <= 2 else "threads"
 
     def run(self, video_paths: List[str], lift: bool = True) -> List[Dict]:
         from ..native import media
@@ -465,82 +500,128 @@ class NativeStreamingRunner:
                                                info["height"])
                 lift_results[vid] = (kp, np.asarray(kp3d), np.asarray(valid3))
 
-        def worker():
-            try:
-                while True:
-                    entry = work_q.get()
-                    if entry is None:
-                        break
-                    if entry[0] == "eov":
-                        finish_video(entry[1])
-                        continue
-                    process(entry)
-            except Exception as e:  # noqa: BLE001 - surfaced in main thread
-                worker_error.append(e)
-                inflight.release()
-
-        wt = threading.Thread(target=worker, daemon=True)
-        wt.start()
-
         import time as _time
 
-        try:
+        def decode_chunk(reader, vid, offset):
+            """Decode one chunk and dispatch its detect program; returns the
+            pipeline entry or None at end of video."""
+            t0 = _time.perf_counter()
+            refs = reader.read_refs(C)
+            n = refs.n
+            if n == 0:
+                return None
+            metrics.record("decode", n, _time.perf_counter() - t0)
+            n_kf = (n + di - 1) // di
+            with metrics.StageTimer("native.downsample", frames=n_kf):
+                small = np.empty(
+                    (KF, est.det_hw[0] * 3 // 2, est.det_hw[1]), np.uint8)
+                refs.downsample(est.det_stride,
+                                (est.det_hw[1], est.det_hw[0]),
+                                interval=di, out=small[:n_kf])
+                if n_kf < KF:
+                    small[n_kf:] = 0
+            with metrics.StageTimer("native.detect_dispatch", frames=n_kf):
+                fut = est._detect_yuv(est.detector.params,
+                                      jnp.asarray(small))
+            _copy_async(fut)  # boxes stream back while the next chunk decodes
+            return (vid, refs, n, fut, offset)
+
+        def open_reader(vid, path):
+            reader = media.NativeVideoReader(path,
+                                             fast_decode=self.fast_decode)
+            # the compiled programs are sized for est.input_hw — refuse
+            # mismatched videos loudly (BucketedStreamingRunner groups
+            # mixed-resolution fleets into per-size runners)
+            if (reader.height, reader.width) != (H, W):
+                reader.close()
+                raise ValueError(
+                    f"{path!r} is {reader.width}x{reader.height} but this "
+                    f"runner's estimator is compiled for {W}x{H}; run "
+                    "same-resolution videos per runner (group by size)")
+            # pre-size the device accumulator from the container header
+            # (the consumer grows it if nb_frames was absent or wrong)
+            if reader.num_frames > 0:
+                t_pad = ((reader.num_frames + C - 1) // C) * C
+                kp_bufs[vid] = jnp.zeros((t_pad, J, 3), jnp.float32)
+            return reader
+
+        if self._resolved_mode() == "single":
+            # Software-pipelined single-thread schedule: after dispatching
+            # chunk i's detect program, ask the device to stream the result
+            # back (copy_to_host_async) and go decode chunk i+1. By the time
+            # i+1 is decoded (~70 ms) the boxes landed (~17 ms link RT), so
+            # processing chunk i never waits — the link round trip is hidden
+            # without a second Python thread fighting for the (single) core.
+            pq: list = []
+
+            def drain_to(keep):
+                while len(pq) > keep:
+                    e = pq.pop(0)
+                    if e[0] == "eov":
+                        finish_video(e[1])
+                    else:
+                        process(e)
+
             for vid, path in enumerate(video_paths):
-                reader = media.NativeVideoReader(path,
-                                                 fast_decode=self.fast_decode)
-                # the compiled programs are sized for est.input_hw — refuse
-                # mismatched videos loudly (BucketedStreamingRunner groups
-                # mixed-resolution fleets into per-size runners)
-                if (reader.height, reader.width) != (H, W):
-                    reader.close()
-                    raise ValueError(
-                        f"{path!r} is {reader.width}x{reader.height} but this "
-                        f"runner's estimator is compiled for {W}x{H}; run "
-                        "same-resolution videos per runner (group by size)")
-                # pre-size the device accumulator from the container header
-                # (worker grows it if nb_frames was absent or wrong)
-                if reader.num_frames > 0:
-                    t_pad = ((reader.num_frames + C - 1) // C) * C
-                    kp_bufs[vid] = jnp.zeros((t_pad, J, 3), jnp.float32)
+                reader = open_reader(vid, path)
                 offset = 0
                 try:
-                    while not worker_error:
-                        inflight.acquire()
-                        if worker_error:
+                    while True:
+                        entry = decode_chunk(reader, vid, offset)
+                        if entry is None:
                             break
-                        t0 = _time.perf_counter()
-                        refs = reader.read_refs(C)
-                        n = refs.n
-                        if n == 0:
-                            inflight.release()
-                            break
-                        metrics.record("decode", n, _time.perf_counter() - t0)
-                        n_kf = (n + di - 1) // di
-                        with metrics.StageTimer("native.downsample",
-                                                frames=n_kf):
-                            small = np.empty(
-                                (KF, est.det_hw[0] * 3 // 2, est.det_hw[1]),
-                                np.uint8)
-                            refs.downsample(est.det_stride,
-                                            (est.det_hw[1], est.det_hw[0]),
-                                            interval=di, out=small[:n_kf])
-                            if n_kf < KF:
-                                small[n_kf:] = 0
-                        with metrics.StageTimer("native.detect_dispatch",
-                                                frames=n_kf):
-                            fut = est._detect_yuv(est.detector.params,
-                                                  jnp.asarray(small))
-                        work_q.put((vid, refs, n, fut, offset))
-                        offset += n
-                        q_samples.append(work_q.qsize())
+                        pq.append(entry)
+                        offset += entry[2]
+                        q_samples.append(len(pq) - 1)
+                        drain_to(1)
                 finally:
                     reader.close()
-                work_q.put(("eov", vid))
-        finally:
-            work_q.put(None)
-            wt.join()
-        if worker_error:
-            raise worker_error[0]
+                # leave the last chunk + eov pending so the kp fetch and
+                # lift overlap the NEXT video's first decode
+                pq.append(("eov", vid))
+                drain_to(2)
+            drain_to(0)
+        else:
+            def worker():
+                try:
+                    while True:
+                        entry = work_q.get()
+                        if entry is None:
+                            break
+                        if entry[0] == "eov":
+                            finish_video(entry[1])
+                            continue
+                        process(entry)
+                except Exception as e:  # noqa: BLE001 - surfaced in main
+                    worker_error.append(e)
+                    inflight.release()
+
+            wt = threading.Thread(target=worker, daemon=True)
+            wt.start()
+            try:
+                for vid, path in enumerate(video_paths):
+                    reader = open_reader(vid, path)
+                    offset = 0
+                    try:
+                        while not worker_error:
+                            inflight.acquire()
+                            if worker_error:
+                                break
+                            entry = decode_chunk(reader, vid, offset)
+                            if entry is None:
+                                inflight.release()
+                                break
+                            work_q.put(entry)
+                            offset += entry[2]
+                            q_samples.append(work_q.qsize())
+                    finally:
+                        reader.close()
+                    work_q.put(("eov", vid))
+            finally:
+                work_q.put(None)
+                wt.join()
+            if worker_error:
+                raise worker_error[0]
         # prefetch-pipeline occupancy: >0 mean means the consumer had work
         # queued whenever the producer finished a chunk (decode-bound run)
         self.last_queue_stats = dict(

@@ -181,6 +181,35 @@ def test_native_runner_smoke(clip):
         assert r["boxes"].shape == (12, 4)
 
 
+def test_native_runner_single_mode_matches_threads(clip):
+    """The software-pipelined single-thread schedule must be bit-identical
+    to the producer/consumer schedule — it reorders only WHEN device results
+    are fetched, never what is computed."""
+    from posepipeline_tpu.models.detector import DetectorConfig, PersonDetector
+    from posepipeline_tpu.models.topdown import TopDownConfig, TopDownModel
+    from posepipeline_tpu.runtime.stream import (I420PoseEstimator,
+                                                 NativeStreamingRunner)
+
+    det = PersonDetector(DetectorConfig(widths=(8, 16, 32, 64)),
+                         input_hw=(96, 160))
+    td = TopDownModel(TopDownConfig("tiny_sm", num_joints=17, input_hw=(64, 48),
+                                    heatmap_hw=(16, 12), dim=32, depth=1,
+                                    num_heads=2, head_features=32))
+    est = I420PoseEstimator(detector=det, topdown=td,
+                            input_hw=(240, 320), det_scale=0.5)
+    outs = {}
+    for mode in ("threads", "single"):
+        runner = NativeStreamingRunner(estimator=est, chunk_frames=8,
+                                       mode=mode)
+        assert runner._resolved_mode() == mode or \
+            __import__("os").environ.get("PPT_STREAM_MODE")
+        outs[mode] = runner.run([clip.path, clip.path], lift=False)
+    for a, b in zip(outs["threads"], outs["single"]):
+        np.testing.assert_array_equal(a["keypoints2d"], b["keypoints2d"])
+        np.testing.assert_array_equal(a["boxes"], b["boxes"])
+        np.testing.assert_array_equal(a["scores"], b["scores"])
+
+
 @pytest.mark.slow
 def test_native_runner_end_to_end(clip):
     from posepipeline_tpu.runtime.stream import (I420PoseEstimator,
