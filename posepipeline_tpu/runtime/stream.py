@@ -487,18 +487,24 @@ class NativeStreamingRunner:
                     jnp.asarray(fixed), buf, offset)
 
         def finish_video(vid):
-            """End-of-video: fetch the accumulated keypoints and lift —
-            overlapping the next video's decode instead of serializing at
-            drain time."""
+            """End-of-video: dispatch the 3D lift on the DEVICE-resident
+            keypoint accumulator (a device slice — the 2D keypoints never
+            round-trip to the host here) and start async copies of every
+            output. Nothing blocks: the transfers and the lift compute
+            overlap the next video's decode, and the final assembly loop
+            finds the bytes already host-side."""
             nf = results[vid]["frames"]
-            if lift and self.lifter is not None and nf and vid in kp_bufs:
-                with metrics.StageTimer("native.fetch_kp", frames=nf):
-                    kp = np.asarray(kp_bufs[vid])[:nf]
-                with metrics.StageTimer("lift_3d", frames=nf):
-                    info = video_info(video_paths[vid])
-                    kp3d, valid3 = self.lifter(kp, info["width"],
-                                               info["height"])
-                lift_results[vid] = (kp, np.asarray(kp3d), np.asarray(valid3))
+            if nf and vid in kp_bufs:
+                kp_dev = kp_bufs[vid]
+                _copy_async(kp_dev)
+                if lift and self.lifter is not None:
+                    with metrics.StageTimer("lift_3d", frames=nf):
+                        info = video_info(video_paths[vid])
+                        kp3d, valid3 = self.lifter(
+                            kp_dev[:nf], info["width"], info["height"])
+                    _copy_async(kp3d)
+                    _copy_async(valid3)
+                    lift_results[vid] = (kp3d, valid3)
 
         import time as _time
 
@@ -632,14 +638,13 @@ class NativeStreamingRunner:
         out = []
         for vid, r in enumerate(results):
             nf = r["frames"]
-            if vid in lift_results:       # fetched+lifted by the dispatcher
-                kp, kp3d, valid3 = lift_results[vid]
-            elif nf and vid in kp_bufs:
+            if nf and vid in kp_bufs:
+                # async copies started at eov: this asarray finds the bytes
+                # already host-side on backends with copy_to_host_async
                 with metrics.StageTimer("native.fetch_kp", frames=nf):
                     kp = np.asarray(kp_bufs[vid])[:nf]
-                kp3d = valid3 = None
             else:
-                kp, kp3d, valid3 = np.zeros((0, J, 3)), None, None
+                kp = np.zeros((0, J, 3))
             item = dict(
                 video=video_paths[vid],
                 boxes=np.concatenate(r["boxes"]) if r["boxes"] else np.zeros((0, 4)),
@@ -647,7 +652,9 @@ class NativeStreamingRunner:
                 keypoints2d=kp,
             )
             if lift and len(kp):
-                if kp3d is None:
+                if vid in lift_results:   # dispatched at eov (overlapped)
+                    kp3d, valid3 = lift_results[vid]
+                else:
                     info = video_info(video_paths[vid])
                     with metrics.StageTimer("lift_3d", frames=len(kp)):
                         kp3d, valid3 = self.lifter(kp, info["width"],
