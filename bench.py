@@ -22,8 +22,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _phase(msg: str) -> None:
+    """Progress marker on stderr so a hung run is diagnosable (the TPU
+    tunnel has been observed to wedge backend init indefinitely; without
+    markers that looks identical to a slow compile)."""
+    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _watchdog(seconds: float, what: str):
+    """Daemon timer that reports (but does not kill) a stuck phase."""
+    import threading
+
+    t = threading.Timer(seconds, lambda: _phase(
+        f"WARNING: still in '{what}' after {seconds:.0f}s — if threads named "
+        "axon-remote-loo/tokio-rt-worker are idle-polling, the TPU tunnel "
+        "is down (see PERF.md)"))
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    _phase("start: importing jax / initializing backend")
+    wd = _watchdog(180, "jax backend init")
     import jax
+
+    jax.devices()
+    wd.cancel()
+    _phase(f"backend up: {jax.devices()}")
 
     # serve the shipped trained weights (registry auto-load) so the benched
     # pipeline produces meaningful keypoints, not random-init output
@@ -35,7 +62,9 @@ def main():
     from posepipeline_tpu.hostmem import prefault_arena
 
     enable_compilation_cache()
+    _phase("prefaulting host arena (wall-clock bounded)")
     prefault_arena(2 << 30)  # pay first-touch faults before the timed region
+    _phase("arena ready; building fixtures")
 
     from posepipeline_tpu.models.lifting import LiftingModel
     from posepipeline_tpu.native import media
@@ -82,9 +111,12 @@ def main():
         # warmup: compile the detect/pose programs at bench shapes + decode
         # one video once (first decode of a freshly-encoded file pays cold
         # file-cache costs; clinical videos are not freshly encoded)
+        _phase("warmup: compiling programs + first decode")
+        wd = _watchdog(420, "warmup compile")
         warm = NativeStreamingRunner(estimator=est, lifter=lifter,
                                      chunk_frames=chunk, num_buffers=buffers)
         warm.run([paths[0]], lift=True)
+        wd.cancel()
         for p in paths[1:]:
             r = media.NativeVideoReader(p)
             b = np.zeros((chunk, height * 3 // 2, width), np.uint8)
@@ -113,14 +145,16 @@ def main():
     from posepipeline_tpu.runtime import metrics
     metrics.report(reset=True)
 
-    # best-of-2: host decode scheduling on shared machines is noisy; the
-    # second pass also reuses already-faulted buffers (hostmem.py)
+    # best-of-N: host decode scheduling on shared machines is noisy; later
+    # passes also reuse already-faulted buffers (hostmem.py)
     fps = 0.0
-    for _ in range(int(os.environ.get("BENCH_REPEATS", "2"))):
+    for rep in range(int(os.environ.get("BENCH_REPEATS", "2"))):
+        _phase(f"timed repeat {rep}")
         t0 = time.perf_counter()
         results = runner.run(paths, lift=True)
         elapsed = time.perf_counter() - t0
         frames = sum(len(r["keypoints2d"]) for r in results)
+        _phase(f"repeat {rep}: {frames / elapsed:.1f} fps")
         fps = max(fps, frames / elapsed)
     baseline = 300.0  # 10x realtime @ 30fps, BASELINE.json north star
     if os.environ.get("BENCH_VERBOSE"):
