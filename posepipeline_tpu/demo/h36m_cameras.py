@@ -133,26 +133,39 @@ def get_camera(subject, camera) -> Dict[str, np.ndarray]:
 def read_cdf_pose(path: str) -> np.ndarray:
     """Read the 'Pose' variable of an H3.6M CDF file → (T, 32, dims).
 
-    Tries spacepy.pycdf then cdflib; the dataset's pre-extracted npz path
-    (scripts/process_h36m.py) works without either."""
+    Uses the first-party CDF v3 parser (demo/cdf_reader.py — no optional
+    dependency needed); spacepy.pycdf / cdflib remain as fallbacks for
+    exotic files outside that parser's scope. The dataset's pre-extracted
+    npz path (scripts/process_h36m.py) bypasses CDF entirely."""
+    from .cdf_reader import CDFFormatError, read_cdf_variable
+
     try:
-        from spacepy import pycdf  # type: ignore
-
-        with pycdf.CDF(path) as cdf:
-            pose = np.array(cdf["Pose"])
-    except ImportError:
+        pose = np.asarray(read_cdf_variable(path, "Pose"))
+    except CDFFormatError as native_err:
         try:
-            import cdflib  # type: ignore
+            from spacepy import pycdf  # type: ignore
 
-            pose = np.asarray(cdflib.CDF(path).varget("Pose"))
-        except ImportError as e:
-            raise ImportError(
-                "reading raw H3.6M CDF files needs spacepy or cdflib; "
-                "install one, or pre-extract to npz (see "
-                "scripts/process_h36m.py --help)") from e
-    dims = pose.shape[-1] // 32 if pose.ndim == 2 else pose.shape[-1]
-    return pose.reshape(pose.shape[-2] if pose.ndim > 2 else pose.shape[0],
-                        32, dims)
+            with pycdf.CDF(path) as cdf:
+                pose = np.array(cdf["Pose"])
+        except ImportError:
+            try:
+                import cdflib  # type: ignore
+
+                pose = np.asarray(cdflib.CDF(path).varget("Pose"))
+            except ImportError:
+                raise CDFFormatError(
+                    f"first-party CDF parser failed ({native_err}) and "
+                    "neither spacepy nor cdflib is installed") from native_err
+    # normalize the stored layouts to (T, 32, dims): files appear as
+    # (T, 32*dims), (1, T, 32*dims) (spacepy keeps a singleton record
+    # axis), or already-structured (T, 32, dims)
+    while pose.ndim > 2 and pose.shape[0] == 1:
+        pose = pose[0]
+    if pose.ndim == 2:
+        return pose.reshape(pose.shape[0], 32, pose.shape[-1] // 32)
+    if pose.ndim == 3 and pose.shape[1] == 32:
+        return pose
+    raise ValueError(f"unrecognized H3.6M Pose layout {pose.shape}")
 
 
 def scan_raw_layout(data_dir: str) -> List[Dict]:

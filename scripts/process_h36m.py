@@ -25,8 +25,9 @@ def import_raw_dataset(data_dir: str):
     the same directory walk as the reference, demo/h36_dj.py:118-213) using
     the official hardcoded camera calibration (demo/h36m_cameras.py).
 
-    Requires a CDF reader (spacepy or cdflib); 2D GT is taken from the
-    official per-camera CDFs and 3D world GT converted per camera."""
+    CDF parsing is first-party (demo/cdf_reader.py — no spacepy/cdflib
+    needed); 2D GT is taken from the official per-camera CDFs and 3D world
+    GT converted per camera."""
     from datetime import datetime
 
     from posepipeline_tpu.demo.h36m import (H36MActivity, H36MActivityView,
