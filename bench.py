@@ -12,6 +12,7 @@ The measured path is the full streaming pipeline: host decode threads →
 fused detect+crop+2D XLA program per batch → temporal 3D lift per video.
 """
 
+import contextlib
 import json
 import os
 import sys
@@ -146,16 +147,26 @@ def main():
     metrics.report(reset=True)
 
     # best-of-N: host decode scheduling on shared machines is noisy; later
-    # passes also reuse already-faulted buffers (hostmem.py)
+    # passes also reuse already-faulted buffers (hostmem.py).
+    # BENCH_PROFILE=<dir>: wrap the LAST repeat in a jax profiler trace
+    # (XProf/perfetto) for device-level op inspection.
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    n_reps = int(os.environ.get("BENCH_REPEATS", "2"))
     fps = 0.0
-    for rep in range(int(os.environ.get("BENCH_REPEATS", "2"))):
+    for rep in range(n_reps):
         _phase(f"timed repeat {rep}")
-        t0 = time.perf_counter()
-        results = runner.run(paths, lift=True)
-        elapsed = time.perf_counter() - t0
+        ctx = (metrics.trace(profile_dir)
+               if profile_dir and rep == n_reps - 1
+               else contextlib.nullcontext())
+        with ctx:
+            t0 = time.perf_counter()
+            results = runner.run(paths, lift=True)
+            elapsed = time.perf_counter() - t0
         frames = sum(len(r["keypoints2d"]) for r in results)
         _phase(f"repeat {rep}: {frames / elapsed:.1f} fps")
         fps = max(fps, frames / elapsed)
+    if profile_dir:
+        _phase(f"profiler trace written under {profile_dir}")
     baseline = 300.0  # 10x realtime @ 30fps, BASELINE.json north star
     if os.environ.get("BENCH_VERBOSE"):
         from posepipeline_tpu.runtime import metrics
