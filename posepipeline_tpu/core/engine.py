@@ -493,6 +493,32 @@ def _norm(v):
     return v
 
 
+def _row_matches_sql_string(row: Dict[str, Any], restriction: str,
+                            heading_names: Sequence[str]) -> bool:
+    """Evaluate a restriction STRING against one materialized row.
+
+    Python-fallback join paths can't push the string into the main query;
+    SQLite itself evaluates it here against a one-row scalar view of the
+    row, so string semantics stay identical to the pushed-down path."""
+    import sqlite3
+
+    cols, vals = [], []
+    for n in heading_names:
+        v = row.get(n)
+        if isinstance(v, (bytes, bytearray, np.ndarray, dict, list)):
+            continue  # blob-ish columns are not addressable in strings
+        vals.append(_norm(v))
+        cols.append(n)
+    sel = ", ".join(f'? AS "{c}"' for c in cols) or "1 AS _one"
+    sql = (f"SELECT 1 FROM (SELECT {sel}) WHERE "
+           + _translate_restriction_string(restriction))
+    conn = sqlite3.connect(":memory:")
+    try:
+        return conn.execute(sql, vals).fetchone() is not None
+    finally:
+        conn.close()
+
+
 # ---------------------------------------------------------------------------
 # SQL compilation of restrictions (scale path)
 #
@@ -960,10 +986,18 @@ class JoinExpression(QueryExpression):
             on = " AND ".join(f'{part_maps[i][n][0]} = {colmap[n][0]}' for n in shared) or "1=1"
             from_sql += f' JOIN "{p._table.table_name}" AS j{i} ON {on}'
             seen_names.update(p.heading.names)
+        # String restrictions use unqualified column names, which SQLite
+        # rejects as ambiguous across the join aliases. They are applied on
+        # an OUTER subquery that exposes each logical column exactly once
+        # (sound for inner joins: the natural-join ON clause makes shared
+        # columns equal, so restricting any alias restricts them all).
+        outer_clauses = []
         for i, p in enumerate(self._parts):
             for r in p._restrictions:
                 if isinstance(r, str):
-                    return None  # unqualified names are ambiguous across aliases
+                    outer_clauses.append(
+                        "(" + _translate_restriction_string(r) + ")")
+                    continue
                 c = _compile_restriction(r, part_maps[i], store)
                 if c is None:
                     return None
@@ -971,7 +1005,9 @@ class JoinExpression(QueryExpression):
                 params.extend(c[1])
         for r in self._restrictions:
             if isinstance(r, str):
-                return None
+                outer_clauses.append(
+                    "(" + _translate_restriction_string(r) + ")")
+                continue
             c = _compile_restriction(r, colmap, store)
             if c is None:
                 return None
@@ -979,10 +1015,17 @@ class JoinExpression(QueryExpression):
             params.extend(c[1])
         names = self.heading.names if cols is None else list(cols)
         attrs = [self.heading.attributes[n] for n in names]
-        sel = ", ".join(colmap[n][0] for n in names)
         where = (" WHERE " + " AND ".join(clauses)) if clauses else ""
         verb = "SELECT DISTINCT" if distinct else "SELECT"
-        return f"{verb} {sel} FROM {from_sql}{where}", params, attrs
+        if not outer_clauses:
+            sel = ", ".join(colmap[n][0] for n in names)
+            return f"{verb} {sel} FROM {from_sql}{where}", params, attrs
+        inner_sel = ", ".join(f'{colmap[n][0]} AS "{n}"'
+                              for n in self.heading.names)
+        outer_sel = ", ".join(f'q."{n}"' for n in names)
+        outer_where = " WHERE " + " AND ".join(outer_clauses)
+        return (f"{verb} {outer_sel} FROM (SELECT {inner_sel} FROM "
+                f"{from_sql}{where}) AS q{outer_where}", params, attrs)
 
     def _rows(self, raw_attach=True, cols=None, distinct=False):
         compiled = self._sql_join(cols, distinct)
@@ -1022,8 +1065,10 @@ class JoinExpression(QueryExpression):
             ok = True
             for restr in self._restrictions:
                 if isinstance(restr, str):
-                    raise NotImplementedError("string restriction on join")
-                if not _row_matches(r, restr, names):
+                    if not _row_matches_sql_string(r, restr, names):
+                        ok = False
+                        break
+                elif not _row_matches(r, restr, names):
                     ok = False
                     break
             if ok:

@@ -206,6 +206,34 @@ def test_join_and_proj(schema):
     assert projected == [{"project": "p1", "session_id": 1}]
 
 
+def test_string_restriction_on_join(schema):
+    """MySQL-style restriction strings on JOIN expressions — the idiom the
+    reference notebooks use everywhere (`Table.populate(filt)` where the
+    key_source is a join and `filt` is 'video_project="X"')."""
+    Session, MethodLookup, MethodChoice, Result = make_tables(schema)
+    for sid, method in ((1, 0), (2, 1)):
+        Session.insert1({"project": f"p{sid}", "session_id": sid,
+                         "start_time": datetime(2026, 8, sid)})
+        MethodChoice.insert1({"project": f"p{sid}", "session_id": sid,
+                              "method": method})
+    joined = (MethodChoice * MethodLookup) & 'project="p1"'
+    rows = joined._rows()
+    assert len(rows) == 1 and rows[0]["project"] == "p1"
+    # string on a PART of the join (restricted-expression operand)
+    joined2 = (MethodChoice & 'project="p2"') * MethodLookup
+    rows2 = joined2._rows()
+    assert len(rows2) == 1 and rows2[0]["method_name"] == "beta"
+    # string referencing a column shared by both parts (the ambiguous case
+    # SQLite would reject without the subquery wrapper)
+    shared = (MethodChoice * MethodLookup) & "method = 1"
+    assert len(shared._rows()) == 1
+    # and on the Python fallback path (renamed projection defeats SQL)
+    projected = MethodChoice.proj(m="method") * Session
+    fallback = projected & 'project="p1"'
+    rows3 = fallback._rows()
+    assert len(rows3) == 1 and rows3[0]["project"] == "p1"
+
+
 def test_key_hash_stability():
     assert key_hash({"b": 2, "a": 1}) == key_hash({"a": 1, "b": 2})
     assert key_hash({"a": 1}) != key_hash({"a": 2})
