@@ -96,6 +96,7 @@ def main():
         paths.append(p)
     lifter = LiftingModel("GastNet")
 
+    decode_sol = None
     if media.available() and not os.environ.get("BENCH_CV2_PATH"):
         from posepipeline_tpu.runtime.stream import (I420PoseEstimator,
                                                      NativeStreamingRunner)
@@ -124,6 +125,24 @@ def main():
             while r.read_batch(b):
                 pass
             r.close()
+        # host decode speed-of-light: on a 1-core host the e2e number is
+        # bounded above by pure libavcodec decode throughput, which varies
+        # >2x across bench hosts (PERF.md "host page-fault degradation").
+        # Reporting it makes a low capture self-diagnosing: e2e/decode
+        # ratio is the pipeline's doing, the absolute decode fps is the
+        # host's.
+        r = media.NativeVideoReader(paths[0])
+        n_dec, t0 = 0, time.perf_counter()
+        while True:
+            refs = r.read_refs(chunk)
+            if refs.n == 0:
+                break
+            n_dec += refs.n
+            refs.release()
+        r.close()
+        decode_sol = n_dec / (time.perf_counter() - t0)
+        _phase(f"host decode speed-of-light: {decode_sol:.1f} fps 1080p "
+               f"(1-core e2e upper bound)")
     else:
         from posepipeline_tpu.runtime.stream import (
             BandwidthOptimizedPoseEstimator, StreamingRunner)
@@ -153,6 +172,7 @@ def main():
     profile_dir = os.environ.get("BENCH_PROFILE")
     n_reps = int(os.environ.get("BENCH_REPEATS", "2"))
     fps = 0.0
+    fps_list = []
     for rep in range(n_reps):
         _phase(f"timed repeat {rep}")
         ctx = (metrics.trace(profile_dir)
@@ -164,6 +184,7 @@ def main():
             elapsed = time.perf_counter() - t0
         frames = sum(len(r["keypoints2d"]) for r in results)
         _phase(f"repeat {rep}: {frames / elapsed:.1f} fps")
+        fps_list.append(round(frames / elapsed, 2))
         fps = max(fps, frames / elapsed)
     if profile_dir:
         _phase(f"profiler trace written under {profile_dir}")
@@ -171,12 +192,20 @@ def main():
     if os.environ.get("BENCH_VERBOSE"):
         from posepipeline_tpu.runtime import metrics
         print(metrics.format_report(), file=sys.stderr)
-    print(json.dumps({
+    # extra keys beyond the driver contract: per-repeat spread + this host's
+    # pure-decode upper bound, so the captured number carries its own host
+    # context (bench-host decode throughput varies >2x — see PERF.md
+    # "host page-fault degradation")
+    entry = {
         "metric": "e2e_decode_detect_2d_3d_fps_1080p",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline, 4),
-    }))
+        "repeats": fps_list,
+    }
+    if decode_sol is not None:
+        entry["host_decode_sol_fps"] = round(decode_sol, 1)
+    print(json.dumps(entry))
 
     # clinic-scale mode (BASELINE.json configs[4]: many concurrent 1080p
     # streams): BENCH_SCALE=N streams N clips back-to-back through the same
