@@ -131,7 +131,9 @@ def main():
         # Reporting it makes a low capture self-diagnosing: e2e/decode
         # ratio is the pipeline's doing, the absolute decode fps is the
         # host's.
-        r = media.NativeVideoReader(paths[0])
+        # same decode configuration as the timed pipeline, so the bound is
+        # a true upper bound for this run (ADVICE r3)
+        r = media.NativeVideoReader(paths[0], fast_decode=fast_decode)
         n_dec, t0 = 0, time.perf_counter()
         while True:
             refs = r.read_refs(chunk)

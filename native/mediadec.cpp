@@ -506,3 +506,171 @@ void mdec_downsample_refs(void** handles, int n_out, int W, int H, int s,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native H.264 (libx264) encode: first-party replacement for the reference's
+// `ffmpeg -c:v libx264` subprocess recompression of every *Video artifact
+// (reference pose_pipeline/pipeline.py:69, utils/visualization.py:72-76,
+// utils/video_format.py:11). In-process libavformat mux + libavcodec/libx264
+// encode — no subprocess, no temp pipe, and the overlay writer hands frames
+// straight from its I420 buffers.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Encoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  AVStream* stream = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* frame = nullptr;
+  int64_t next_pts = 0;
+  int width = 0, height = 0;
+  bool header_written = false;
+};
+
+int enc_drain(Encoder* e) {
+  while (true) {
+    int r = avcodec_receive_packet(e->codec, e->pkt);
+    if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return 0;
+    if (r < 0) return -1;
+    // explicit 1-frame duration: without it the mp4 edit list ends one
+    // frame short and demuxers flag the final sample AV_PKT_FLAG_DISCARD
+    // (observed: 10-frame encodes decoding to 9 everywhere)
+    e->pkt->duration = 1;
+    av_packet_rescale_ts(e->pkt, e->codec->time_base, e->stream->time_base);
+    e->pkt->stream_index = e->stream->index;
+    if (av_interleaved_write_frame(e->fmt, e->pkt) < 0) return -1;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open an MP4/libx264 encoder writing to `path`. crf in [0,51] (23 = x264
+// default; 28 ≈ the visually-lossless-enough clinical artifact tier);
+// preset e.g. "veryfast" (the overlay artifacts are write-once,
+// play-many — veryfast keeps host encode off the pipeline's critical path).
+// Returns NULL on failure (e.g. libx264 not built in — callers fall back to
+// the cv2 writer).
+void* menc_open(const char* path, int W, int H, double fps, int crf,
+                const char* preset) {
+  av_log_set_level(AV_LOG_ERROR);
+  const AVCodec* enc = avcodec_find_encoder_by_name("libx264");
+  if (!enc) return nullptr;
+  Encoder* e = new Encoder();
+  e->width = W; e->height = H;
+  if (avformat_alloc_output_context2(&e->fmt, nullptr, nullptr, path) < 0 ||
+      !e->fmt) { delete e; return nullptr; }
+  e->codec = avcodec_alloc_context3(enc);
+  e->codec->width = W;
+  e->codec->height = H;
+  e->codec->pix_fmt = AV_PIX_FMT_YUV420P;
+  // rational fps: support e.g. 29.97 exactly enough for clinical playback
+  AVRational fr = av_d2q(fps > 0 ? fps : 30.0, 100000);
+  e->codec->time_base = AVRational{fr.den, fr.num};
+  e->codec->framerate = fr;
+  e->codec->gop_size = 2 * (int)(fps > 0 ? fps + 0.5 : 30);
+  if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    e->codec->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  AVDictionary* opts = nullptr;
+  char crfbuf[8];
+  snprintf(crfbuf, sizeof crfbuf, "%d", crf < 0 ? 23 : crf);
+  av_dict_set(&opts, "crf", crfbuf, 0);
+  av_dict_set(&opts, "preset", preset && *preset ? preset : "veryfast", 0);
+  if (avcodec_open2(e->codec, enc, &opts) < 0) {
+    av_dict_free(&opts);
+    avcodec_free_context(&e->codec);
+    avformat_free_context(e->fmt);
+    delete e; return nullptr;
+  }
+  av_dict_free(&opts);
+  e->stream = avformat_new_stream(e->fmt, nullptr);
+  e->stream->time_base = e->codec->time_base;
+  avcodec_parameters_from_context(e->stream->codecpar, e->codec);
+  if (!(e->fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&e->fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+    avcodec_free_context(&e->codec);
+    avformat_free_context(e->fmt);
+    delete e; return nullptr;
+  }
+  if (avformat_write_header(e->fmt, nullptr) < 0) {
+    if (e->fmt->pb) avio_closep(&e->fmt->pb);
+    avcodec_free_context(&e->codec);
+    avformat_free_context(e->fmt);
+    delete e; return nullptr;
+  }
+  e->header_written = true;
+  e->pkt = av_packet_alloc();
+  e->frame = av_frame_alloc();
+  e->frame->format = AV_PIX_FMT_YUV420P;
+  e->frame->width = W;
+  e->frame->height = H;
+  av_frame_get_buffer(e->frame, 32);
+  return e;
+}
+
+// Encode n contiguous I420 frames (each W*H*3/2 bytes). Returns 0 on
+// success, -1 on error.
+int menc_write(void* h, const uint8_t* i420, int n) {
+  Encoder* e = (Encoder*)h;
+  const int W = e->width, H = e->height;
+  const size_t fsz = (size_t)W * H * 3 / 2;
+  for (int i = 0; i < n; ++i) {
+    const uint8_t* src = i420 + fsz * i;
+    if (av_frame_make_writable(e->frame) < 0) return -1;
+    for (int r = 0; r < H; ++r)
+      std::memcpy(e->frame->data[0] + (size_t)r * e->frame->linesize[0],
+                  src + (size_t)r * W, W);
+    const uint8_t* U = src + (size_t)W * H;
+    const uint8_t* V = U + (size_t)W * H / 4;
+    const int cw = W / 2, ch = H / 2;
+    for (int r = 0; r < ch; ++r) {
+      std::memcpy(e->frame->data[1] + (size_t)r * e->frame->linesize[1],
+                  U + (size_t)r * cw, cw);
+      std::memcpy(e->frame->data[2] + (size_t)r * e->frame->linesize[2],
+                  V + (size_t)r * cw, cw);
+    }
+    e->frame->pts = e->next_pts++;
+    if (avcodec_send_frame(e->codec, e->frame) < 0) return -1;
+    if (enc_drain(e) < 0) return -1;
+  }
+  return 0;
+}
+
+// Flush the encoder, write the MP4 trailer, free everything. Returns 0 on
+// success (file is complete), -1 if the flush/trailer failed.
+int menc_close(void* h) {
+  Encoder* e = (Encoder*)h;
+  int rc = 0;
+  if (e->codec) {
+    avcodec_send_frame(e->codec, nullptr);  // enter flush mode
+    while (true) {
+      int r = avcodec_receive_packet(e->codec, e->pkt);
+      if (r == AVERROR_EOF) break;
+      if (r < 0) { rc = -1; break; }
+      e->pkt->duration = 1;  // see enc_drain
+      av_packet_rescale_ts(e->pkt, e->codec->time_base, e->stream->time_base);
+      e->pkt->stream_index = e->stream->index;
+      if (av_interleaved_write_frame(e->fmt, e->pkt) < 0) { rc = -1; break; }
+    }
+  }
+  if (e->header_written && av_write_trailer(e->fmt) < 0) rc = -1;
+  if (e->fmt && e->fmt->pb) avio_closep(&e->fmt->pb);
+  if (e->frame) av_frame_free(&e->frame);
+  if (e->pkt) av_packet_free(&e->pkt);
+  if (e->codec) avcodec_free_context(&e->codec);
+  if (e->fmt) avformat_free_context(e->fmt);
+  delete e;
+  return rc;
+}
+
+// Codec name of an opened decoder's video stream ("h264", "mpeg4", …) so
+// artifact tests can assert the produced codec without ffprobe.
+const char* mdec_codec_name(void* h) {
+  Decoder* d = (Decoder*)h;
+  return d->codec && d->codec->codec ? d->codec->codec->name : "";
+}
+
+}  // extern "C"

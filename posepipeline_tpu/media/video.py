@@ -11,9 +11,10 @@ Design notes (TPU-first):
 - ``frame_batches`` yields fixed-size batches (padded at the tail) so every
   downstream jitted function sees **static shapes** — XLA compiles once per
   (batch, H, W) bucket instead of per video.
-- Re-encode uses cv2's built-in codecs (no ffmpeg binary dependency in this
-  environment); the robust-reader transcode fallback re-encodes through
-  cv2.VideoWriter instead of spawning ``ffmpeg -c:v libx264``.
+- Re-encode prefers the first-party in-process libx264 encoder
+  (native/mediadec.cpp ``menc_*`` — the reference's ``ffmpeg -c:v libx264``
+  subprocess without the subprocess); cv2's built-in codecs remain the
+  fallback when the native lib is unavailable.
 """
 
 from __future__ import annotations
@@ -114,15 +115,56 @@ def frame_batches(path: str, batch_size: int, rgb: bool = True,
             yield np.stack(buf), valid[: len(buf)]
 
 
-def write_video(frames, path: str, fps: float = 30.0, rgb: bool = True) -> str:
-    """Encode an iterable of HxWx3 uint8 frames to an MP4 file."""
+def _x264_writer_cls():
+    """The native libx264 writer class, or None (then cv2 mp4v is the
+    fallback). Cached: the probe opens a real encoder once."""
+    global _X264_CLS
+    if _X264_CLS is not None:
+        return _X264_CLS or None
+    try:
+        from ..native.media import NativeVideoWriter
+
+        _X264_CLS = NativeVideoWriter if NativeVideoWriter.available() else False
+    except Exception:
+        _X264_CLS = False
+    return _X264_CLS or None
+
+
+_X264_CLS = None
+
+
+def write_video(frames, path: str, fps: float = 30.0, rgb: bool = True,
+                codec: Optional[str] = None) -> str:
+    """Encode an iterable of HxWx3 uint8 frames to an MP4 file.
+
+    Prefers the first-party libx264 encoder (native/mediadec.cpp menc_*) —
+    the reference recompresses every ``*Video`` artifact to H.264 via an
+    ffmpeg subprocess (reference utils/visualization.py:72-76,
+    pipeline.py:69) for size + player compatibility; cv2/mp4v remains the
+    fallback when the native lib or libx264 is unavailable. ``codec="mp4v"``
+    (or PPT_VIDEO_CODEC=mp4v) forces the cv2 path."""
+    import os as _os
+
+    codec = codec or _os.environ.get("PPT_VIDEO_CODEC", "h264")
+    use_x264 = codec != "mp4v"
+    native_cls = _x264_writer_cls() if use_x264 else None
     writer = None
+    native = None
     for frame in frames:
         if frame.dtype != np.uint8:
             frame = np.clip(frame, 0, 255).astype(np.uint8)
+        h, w = frame.shape[:2]
+        if native_cls is not None and native is None and writer is None:
+            if h % 2 == 0 and w % 2 == 0:
+                native = native_cls(path, w, h, fps=fps)
+            else:
+                native_cls = None  # odd dims: yuv420p can't represent them
+        if native is not None:
+            native.write_rgb(frame if rgb
+                             else cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            continue
         bgr = cv2.cvtColor(frame, cv2.COLOR_RGB2BGR) if rgb else frame
         if writer is None:
-            h, w = bgr.shape[:2]
             for fourcc in _FOURCC_CANDIDATES:
                 writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*fourcc), fps, (w, h))
                 if writer.isOpened():
@@ -132,6 +174,8 @@ def write_video(frames, path: str, fps: float = 30.0, rgb: bool = True) -> str:
             if writer is None:
                 raise IOError(f"No working codec for {path!r}")
         writer.write(bgr)
+    if native is not None:
+        native.close()
     if writer is not None:
         writer.release()
     return path

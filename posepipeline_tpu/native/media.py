@@ -94,6 +94,15 @@ def _load():
         lib.mdec_downsample_refs.argtypes = [
             c.POINTER(c.c_void_p), c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
             c.POINTER(c.c_uint8), c.c_int, c.c_int]
+        lib.menc_open.restype = c.c_void_p
+        lib.menc_open.argtypes = [c.c_char_p, c.c_int, c.c_int, c.c_double,
+                                  c.c_int, c.c_char_p]
+        lib.menc_write.restype = c.c_int
+        lib.menc_write.argtypes = [c.c_void_p, c.POINTER(c.c_uint8), c.c_int]
+        lib.menc_close.restype = c.c_int
+        lib.menc_close.argtypes = [c.c_void_p]
+        lib.mdec_codec_name.restype = c.c_char_p
+        lib.mdec_codec_name.argtypes = [c.c_void_p]
         _lib = lib
         return _lib
 
@@ -135,6 +144,7 @@ class NativeVideoReader:
         self.height = lib.mdec_height(self._h)
         self.fps = lib.mdec_fps(self._h)
         self.num_frames = int(lib.mdec_nframes(self._h))
+        self.codec_name = lib.mdec_codec_name(self._h).decode()
         if self.width % 2 or self.height % 2:
             self.close()
             raise IOError("native reader requires even frame dimensions")
@@ -272,6 +282,96 @@ def downsample_batch(frames: np.ndarray, width: int, height: int, stride: int,
     lib.mdec_downsample_batch_i420(_u8ptr(frames), n_out, width, height,
                                    stride, interval, _u8ptr(out), ow, oh)
     return out
+
+
+class NativeVideoWriter:
+    """In-process MP4/libx264 encoder (native/mediadec.cpp menc_*).
+
+    The reference recompresses every ``*Video`` artifact through an
+    ``ffmpeg -c:v libx264`` subprocess (reference pipeline.py:69,
+    utils/visualization.py:72-76); this environment has no ffmpeg binary, so
+    the writer drives libavcodec/libx264 directly. Frames are I420 blocks
+    ``(H*3//2, W)`` uint8 (the pipeline's native frame layout) or RGB
+    ``(H, W, 3)`` via :meth:`write_rgb`.
+    """
+
+    def __init__(self, path: str, width: int, height: int, fps: float = 30.0,
+                 crf: int = 23, preset: str = "veryfast"):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native media library unavailable")
+        if width % 2 or height % 2:
+            raise ValueError("libx264 yuv420p needs even dimensions")
+        self._lib = lib
+        self.width, self.height, self.fps = width, height, float(fps)
+        self._h = lib.menc_open(path.encode(), width, height, float(fps),
+                                int(crf), preset.encode())
+        if not self._h:
+            raise IOError(
+                f"menc_open failed for {path!r} (libx264 unavailable?)")
+        self.path = path
+
+    @staticmethod
+    def available() -> bool:
+        """True when the native lib is built AND libx264 can open."""
+        lib = _load()
+        if lib is None:
+            return False
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            h = lib.menc_open(os.path.join(d, "probe.mp4").encode(),
+                              64, 64, 30.0, 23, b"veryfast")
+            if not h:
+                return False
+            lib.menc_close(h)
+        return True
+
+    def write(self, i420_frames: np.ndarray) -> None:
+        """Encode (n, H*3//2, W) or a single (H*3//2, W) uint8 I420 block."""
+        if self._h is None:
+            raise IOError("writer is closed")
+        a = np.ascontiguousarray(i420_frames, np.uint8)
+        if a.ndim == 2:
+            a = a[None]
+        if a.shape[1:] != (self.height * 3 // 2, self.width):
+            raise ValueError(f"expected (n, {self.height * 3 // 2}, "
+                             f"{self.width}), got {a.shape}")
+        if self._lib.menc_write(self._h, _u8ptr(a), a.shape[0]) != 0:
+            raise IOError("native encode error")
+
+    def write_rgb(self, frame: np.ndarray) -> None:
+        """Encode one (H, W, 3) uint8 RGB frame (cv2 RGB→I420 host conv)."""
+        import cv2
+
+        self.write(cv2.cvtColor(np.ascontiguousarray(frame, np.uint8),
+                                cv2.COLOR_RGB2YUV_I420))
+
+    def close(self) -> None:
+        if self._h is not None:
+            rc = self._lib.menc_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise IOError(f"encoder flush/trailer failed for {self.path!r}")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover - GC safety
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def codec_name(path: str) -> str:
+    """Video-stream codec of a file ("h264", "mpeg4", …) — artifact tests
+    assert the produced codec without needing ffprobe."""
+    with NativeVideoReader(path) as r:
+        return r.codec_name
 
 
 def crop_batch(frames: np.ndarray, width: int, height: int,

@@ -219,6 +219,7 @@ def _get_face_model():
         if path:
             model.params = commit_to_default(
                 merge_params(model.params, load_params(path)))
+        model.weights_loaded = bool(path)
         _face_models["face"] = model
     return _face_models["face"]
 

@@ -223,5 +223,6 @@ def _get_hand_model(method: str):
         if path:
             model.params = commit_to_default(
                 merge_params(model.params, load_params(path)))
+        model.weights_loaded = bool(path)
         _hand_models[method] = model
     return _hand_models[method]

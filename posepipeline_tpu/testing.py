@@ -177,7 +177,10 @@ def synthetic_video(
     hw = maxs - mins
     bboxes = np.concatenate([tl, hw], axis=-1)  # (T, N, 4) = (x, y, w, h)
 
-    write_video(iter(frames), path, fps=fps)
+    # pinned to the cv2/mp4v writer: fixtures must stay byte-comparable
+    # across rounds (bench clip cache, decode-oracle tolerances) regardless
+    # of which artifact codec write_video prefers
+    write_video(iter(frames), path, fps=fps, codec="mp4v")
     colors = [_PERSON_COLORS[p % len(_PERSON_COLORS)] for p in range(num_people)]
     return SyntheticClip(path, fps, width, height, all_joints, bboxes, colors)
 

@@ -78,7 +78,8 @@ def main():
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--only", default="",
-                    help="comma-separated subset of head names")
+                    help="comma-separated subset of head ids (e.g. "
+                         "MMPoseHalpe,hand,face)")
     args = ap.parse_args()
     os.environ.setdefault(
         "PPT_WEIGHTS_DIR",
@@ -92,13 +93,56 @@ def main():
     from posepipeline_tpu import synthjax
     from posepipeline_tpu.models.topdown import get_topdown_model
 
-    only = set(args.only.split(",")) if args.only else None
-    rows = []
+    # comma-free head ids (ADVICE r3: names with commas could never match
+    # --only, and unknown ids silently produced an empty table). Models are
+    # built lazily so subset runs do not pay full-registry init (~100 s).
+    def _topdown(name):
+        model = get_topdown_model(name)
+        bf = functools.partial(synthjax.topdown_joints_batch,
+                               num_joints=model.cfg.num_joints,
+                               crop_hw=model.cfg.input_hw)
+        return model, bf
 
-    def run(name, model, batch_fn):
-        if only is not None and name not in only:
-            return
-        if not getattr(model, "weights_loaded", True):
+    def _hand():
+        from posepipeline_tpu.pipeline.hands import _get_hand_model
+
+        hand = _get_hand_model("RTMPoseHand5")
+        return hand, functools.partial(synthjax.hand_batch,
+                                       crop_hw=hand.cfg.input_hw)
+
+    def _face():
+        from posepipeline_tpu.pipeline.backends import _get_face_model
+
+        face = _get_face_model()
+        return face, functools.partial(synthjax.face_crop_batch,
+                                       crop_hw=face.cfg.input_hw)
+
+    heads = {
+        "MMPoseWholebody": lambda: _topdown("MMPoseWholebody"),
+        "MMPoseHalpe": lambda: _topdown("MMPoseHalpe"),
+        "MMPoseHrformerCoco": lambda: _topdown("MMPoseHrformerCoco"),
+        "MMPoseTCFormerWholebody": lambda: _topdown("MMPoseTCFormerWholebody"),
+        "hand": _hand,       # 21-joint net shared by every hand slot
+        "face": _face,       # 70-point OpenPose face layout
+    }
+    labels = {"hand": "hand (21-joint, shared)",
+              "face": "face (70-point OpenPose)"}
+
+    if args.only:
+        requested = [s.strip() for s in args.only.split(",") if s.strip()]
+        unknown = [s for s in requested if s not in heads]
+        if unknown:
+            ap.error(f"unknown head id(s) {unknown}; "
+                     f"choose from {sorted(heads)}")
+        selected = requested
+    else:
+        selected = list(heads)
+
+    rows = []
+    for head_id in selected:
+        model, batch_fn = heads[head_id]()
+        name = labels.get(head_id, head_id)
+        if not getattr(model, "weights_loaded", False):
             print(f"{name}: weights NOT loaded (random init) — set "
                   "PPT_WEIGHTS_DIR", file=sys.stderr)
         t0 = time.time()
@@ -107,27 +151,6 @@ def main():
         rows.append((name, p02, p01, n))
         print(f"{name}: PCK@0.2 {p02:.3f}  PCK@0.1 {p01:.3f} "
               f"({n} joints, {time.time() - t0:.0f}s)")
-
-    for name in ("MMPoseWholebody", "MMPoseHalpe", "MMPoseHrformerCoco",
-                 "MMPoseTCFormerWholebody"):
-        model = get_topdown_model(name)
-        bf = functools.partial(synthjax.topdown_joints_batch,
-                               num_joints=model.cfg.num_joints,
-                               crop_hw=model.cfg.input_hw)
-        run(name, model, bf)
-
-    from posepipeline_tpu.pipeline.hands import _get_hand_model
-
-    hand = _get_hand_model("RTMPoseHand5")
-    run("hand (21-joint, shared)", hand,
-        functools.partial(synthjax.hand_batch, crop_hw=hand.cfg.input_hw))
-
-    from posepipeline_tpu.pipeline.backends import _get_face_model
-
-    face = _get_face_model()
-    run("face (70-point OpenPose)", face,
-        functools.partial(synthjax.face_crop_batch,
-                          crop_hw=face.cfg.input_hw))
 
     print("\n| head | PCK@0.2 | PCK@0.1 |")
     print("|---|---|---|")

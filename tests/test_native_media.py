@@ -274,3 +274,51 @@ def test_downsample_full_fov_alignment(clip):
     np.testing.assert_array_equal(y[: H // s, : W // s], src_y[::s, ::s])
     np.testing.assert_array_equal(y[H // s:, : W // s],
                                   np.tile(src_y[-1, ::s], (oh - H // s, 1)))
+
+
+def test_native_x264_writer_roundtrip(tmp_path):
+    """First-party libx264 encode (menc_*): the produced artifact is real
+    H.264 (codec golden — the reference recompresses every *Video artifact
+    to libx264, reference utils/visualization.py:72-76) and decodes back to
+    the input within lossy-codec tolerance."""
+    if not media.NativeVideoWriter.available():
+        pytest.skip("libx264 encoder unavailable in this libavcodec build")
+    H, W, T = 96, 128, 10
+    rng = np.random.default_rng(0)
+    # piecewise-constant frames: codecs preserve flat patches well
+    frames = np.repeat(np.repeat(
+        rng.integers(0, 255, (T, H // 16, W // 16, 3), np.uint8),
+        16, axis=1), 16, axis=2)
+    out = str(tmp_path / "clip.mp4")
+    with media.NativeVideoWriter(out, W, H, fps=30.0, crf=18) as w:
+        for f in frames:
+            w.write_rgb(f)
+    assert media.codec_name(out) == "h264"
+    with media.NativeVideoReader(out) as r:
+        assert (r.width, r.height) == (W, H)
+        buf = np.zeros((T + 4, H * 3 // 2, W), np.uint8)
+        n = r.read_batch(buf)
+    assert n == T
+    got = np.stack([cv2.cvtColor(b, cv2.COLOR_YUV2RGB_I420) for b in buf[:T]])
+    err = np.abs(got.astype(np.int16) - frames.astype(np.int16)).mean()
+    assert err < 4.0, f"mean abs error {err}"
+
+
+def test_write_video_prefers_x264(tmp_path):
+    """media.write_video produces an H.264 artifact when libx264 exists and
+    honors the PPT_VIDEO_CODEC=mp4v escape hatch."""
+    from posepipeline_tpu.media.video import write_video
+
+    if not media.NativeVideoWriter.available():
+        pytest.skip("libx264 encoder unavailable in this libavcodec build")
+    frames = [np.full((64, 64, 3), c, np.uint8) for c in (10, 120, 240)]
+    out = str(tmp_path / "artifact.mp4")
+    write_video(iter(frames), out, fps=30.0)
+    assert media.codec_name(out) == "h264"
+    out2 = str(tmp_path / "artifact_mp4v.mp4")
+    os.environ["PPT_VIDEO_CODEC"] = "mp4v"
+    try:
+        write_video(iter(frames), out2, fps=30.0)
+    finally:
+        del os.environ["PPT_VIDEO_CODEC"]
+    assert media.codec_name(out2) != "h264"
