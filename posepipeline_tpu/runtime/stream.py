@@ -374,7 +374,7 @@ class NativeStreamingRunner:
                  lifter: Optional[LiftingModel] = None,
                  chunk_frames: int = 32, max_inflight_pose: int = 4,
                  num_buffers: int = 6, fast_decode: bool = False,
-                 mode: str = "auto"):
+                 mode: str = "auto", streams_in_flight: int = 4):
         # chunk 32 is the measured sweet spot on the 1-core + remote-link
         # bench host: per-chunk round-trip stalls shrink with chunk size
         # until fixed dispatch overhead dominates
@@ -397,15 +397,18 @@ class NativeStreamingRunner:
         # "auto" picks single on 1-2 core hosts where a second Python
         # thread costs more than it hides (measured: two-thread host-only
         # pipeline 308 fps vs 343 single on the 1-core bench host).
-        if mode not in ("auto", "single", "threads"):
-            raise ValueError(f"mode must be auto|single|threads, got {mode!r}")
+        if mode not in ("auto", "single", "threads", "interleave"):
+            raise ValueError(
+                f"mode must be auto|single|threads|interleave, got {mode!r}")
         self.mode = mode
+        # interleave mode: how many videos are open/decoding at once
+        self.streams_in_flight = int(streams_in_flight)
 
     def _resolved_mode(self) -> str:
         import os
 
         env = os.environ.get("PPT_STREAM_MODE")
-        if env in ("single", "threads"):
+        if env in ("single", "threads", "interleave"):
             return env
         if self.mode != "auto":
             return self.mode
@@ -427,10 +430,25 @@ class NativeStreamingRunner:
         KF = (C + di - 1) // di
         scale = np.array([est.det_stride] * 4 + [1.0], np.float64)
         J = est.topdown.cfg.num_joints
-        # bound decoded-but-not-yet-cropped chunks: each in-flight chunk pins
-        # up to C ref-counted frames in the decoder pool (zero-copy decode)
+        # bound decoded-but-not-yet-cropped chunks (each in-flight chunk
+        # owns one packed ring buffer of C frames)
         inflight = threading.Semaphore(self.num_buffers)
         results = [dict(boxes=[], scores=[], frames=0) for _ in video_paths]
+        # Packed decode ring: mdec_read copies each decoded frame straight
+        # into a REUSED caller buffer and releases the AVFrame, so the
+        # decoder's own pool stays ~3 buffers (L2-warm) and the ring pages
+        # stay TLB-warm. Measured against the round-3 zero-copy ref path on
+        # the 1-core bench host: decode+copy 587 fps vs 492 fps ref-decode
+        # alone, and decode+copy+crop 2.18 ms/f vs 3.26 ms/f — holding
+        # AVFrame refs across chunks forced the codec pool to grow cold
+        # (PERF.md round 4). Buffers recycle through a free-list once the
+        # consumer has cropped them.
+        free_bufs: list = []
+
+        def take_buf():
+            if free_bufs:
+                return free_bufs.pop()
+            return np.empty((C, H * 3 // 2, W), np.uint8)
         # keypoints accumulate ON DEVICE (see _pose_accum): one buffer per
         # video, one fetch per video at drain time — the steady state does
         # zero keypoint round trips
@@ -449,7 +467,7 @@ class NativeStreamingRunner:
             dispatch thread cost ~15 fps e2e); the per-chunk budget here
             (~50 ms) stays under the decoder's (~70 ms), so the decode
             thread never waits on it."""
-            vid, refs, n, fut, offset = entry
+            vid, buf, n, fut, offset = entry
             try:
                 with metrics.StageTimer("native.fetch_boxes", frames=n):
                     kf = np.asarray(fut) * scale  # (KF, 5): boxes*stride | score
@@ -460,13 +478,14 @@ class NativeStreamingRunner:
                 with metrics.StageTimer("native.crop", frames=n):
                     if n < C:  # tail chunk: pad to the compiled batch shape
                         crops = np.zeros((C, th * 3 // 2, tw), np.uint8)
-                        refs.crop(fixed, (th, tw), out=crops[:n])
+                        media.crop_batch(buf[:n], W, H, fixed, (th, tw),
+                                         out=crops[:n])
                         fixed = np.concatenate(
                             [fixed, np.zeros((C - n, 4), np.float32)])
                     else:
-                        crops = refs.crop(fixed, (th, tw))
+                        crops = media.crop_batch(buf, W, H, fixed, (th, tw))
             finally:
-                refs.release()
+                free_bufs.append(buf)   # ring recycle (keeps pages warm)
                 inflight.release()
             results[vid]["boxes"].append(boxes[:n])
             results[vid]["scores"].append(scores[:n])
@@ -509,28 +528,30 @@ class NativeStreamingRunner:
         import time as _time
 
         def decode_chunk(reader, vid, offset):
-            """Decode one chunk and dispatch its detect program; returns the
-            pipeline entry or None at end of video."""
+            """Decode one chunk (packed, reused buffer) and dispatch its
+            detect program; returns the pipeline entry or None at end of
+            video."""
             t0 = _time.perf_counter()
-            refs = reader.read_refs(C)
-            n = refs.n
+            buf = take_buf()
+            n = reader.read_batch(buf)
             if n == 0:
+                free_bufs.append(buf)
                 return None
             metrics.record("decode", n, _time.perf_counter() - t0)
             n_kf = (n + di - 1) // di
             with metrics.StageTimer("native.downsample", frames=n_kf):
                 small = np.empty(
                     (KF, est.det_hw[0] * 3 // 2, est.det_hw[1]), np.uint8)
-                refs.downsample(est.det_stride,
-                                (est.det_hw[1], est.det_hw[0]),
-                                interval=di, out=small[:n_kf])
+                media.downsample_batch(buf[:n], W, H, est.det_stride,
+                                       (est.det_hw[1], est.det_hw[0]),
+                                       interval=di, out=small[:n_kf])
                 if n_kf < KF:
                     small[n_kf:] = 0
             with metrics.StageTimer("native.detect_dispatch", frames=n_kf):
                 fut = est._detect_yuv(est.detector.params,
                                       jnp.asarray(small))
             _copy_async(fut)  # boxes stream back while the next chunk decodes
-            return (vid, refs, n, fut, offset)
+            return (vid, buf, n, fut, offset)
 
         def open_reader(vid, path):
             reader = media.NativeVideoReader(path,
@@ -551,7 +572,57 @@ class NativeStreamingRunner:
                 kp_bufs[vid] = jnp.zeros((t_pad, J, 3), jnp.float32)
             return reader
 
-        if self._resolved_mode() == "single":
+        if self._resolved_mode() == "interleave":
+            # Multi-stream software pipelining (the clinic configs[4]
+            # schedule): K videos are open at once and chunks round-robin
+            # through the same compiled programs. End-of-video work — the
+            # device-resident 3D lift dispatch and the final keypoint fetch
+            # — hides behind OTHER streams' decode instead of stalling
+            # between videos, which is what makes a 100-video run faster
+            # than 100 sequential runs on the same core. Held-chunk depth
+            # stays at the single-mode bound (2) so the decoder-pool
+            # working set stays small (PERF.md: held refs are the decode
+            # throughput wall).
+            K = max(1, min(self.streams_in_flight, len(video_paths)))
+            pq: list = []
+
+            def drain_to(keep):
+                while len(pq) > keep:
+                    e = pq.pop(0)
+                    if e[0] == "eov":
+                        finish_video(e[1])
+                    else:
+                        process(e)
+
+            slots = []          # [reader, vid, offset] per active stream
+            next_vid = 0
+            while next_vid < len(video_paths) and len(slots) < K:
+                slots.append([open_reader(next_vid, video_paths[next_vid]),
+                              next_vid, 0])
+                next_vid += 1
+            s = 0
+            while slots:
+                s %= len(slots)
+                slot = slots[s]
+                entry = decode_chunk(slot[0], slot[1], slot[2])
+                if entry is None:
+                    slot[0].close()
+                    pq.append(("eov", slot[1]))
+                    if next_vid < len(video_paths):
+                        slots[s] = [open_reader(next_vid,
+                                                video_paths[next_vid]),
+                                    next_vid, 0]
+                        next_vid += 1
+                    else:
+                        slots.pop(s)
+                    continue
+                pq.append(entry)
+                slot[2] += entry[2]
+                q_samples.append(len(pq) - 1)
+                drain_to(1 if len(slots) == 1 else 2)
+                s += 1
+            drain_to(0)
+        elif self._resolved_mode() == "single":
             # Software-pipelined single-thread schedule: after dispatching
             # chunk i's detect program, ask the device to stream the result
             # back (copy_to_host_async) and go decode chunk i+1. By the time

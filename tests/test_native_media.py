@@ -198,16 +198,17 @@ def test_native_runner_single_mode_matches_threads(clip):
     est = I420PoseEstimator(detector=det, topdown=td,
                             input_hw=(240, 320), det_scale=0.5)
     outs = {}
-    for mode in ("threads", "single"):
+    for mode in ("threads", "single", "interleave"):
         runner = NativeStreamingRunner(estimator=est, chunk_frames=8,
-                                       mode=mode)
+                                       mode=mode, streams_in_flight=3)
         assert runner._resolved_mode() == mode or \
             __import__("os").environ.get("PPT_STREAM_MODE")
-        outs[mode] = runner.run([clip.path, clip.path], lift=False)
-    for a, b in zip(outs["threads"], outs["single"]):
-        np.testing.assert_array_equal(a["keypoints2d"], b["keypoints2d"])
-        np.testing.assert_array_equal(a["boxes"], b["boxes"])
-        np.testing.assert_array_equal(a["scores"], b["scores"])
+        outs[mode] = runner.run([clip.path, clip.path, clip.path], lift=False)
+    for mode in ("single", "interleave"):
+        for a, b in zip(outs["threads"], outs[mode]):
+            np.testing.assert_array_equal(a["keypoints2d"], b["keypoints2d"])
+            np.testing.assert_array_equal(a["boxes"], b["boxes"])
+            np.testing.assert_array_equal(a["scores"], b["scores"])
 
 
 @pytest.mark.slow
