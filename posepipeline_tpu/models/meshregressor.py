@@ -135,7 +135,15 @@ MESH_METHOD_CONFIGS = {
                                   keypoint_fitting=True),
     "Expose": MeshRegressorConfig("Expose", temporal=False, body="smplx"),
     "PARE": MeshRegressorConfig("PARE", temporal=False, feature_dim=768),
-    "PIXIE": MeshRegressorConfig("PIXIE", temporal=False, body="smplx"),
+    # PIXIE's head is wider than ExPose's (the reference PIXIE fuses
+    # body/face/hand experts, wrappers/pixie.py:116 — modeled here as extra
+    # head capacity so the two SMPL-X slots are architecturally distinct)
+    "PIXIE": MeshRegressorConfig("PIXIE", temporal=False, body="smplx",
+                                 feature_dim=640),
+    # same net as ProHMR by design (the reference pair differs only in the
+    # conditioning keypoint source, wrappers/prohmr.py:59-171 vs :174-284 —
+    # pipeline/smpl.py._fitting_keypoints wires MMPose-vs-OpenPose);
+    # trained with a per-method seed so the weights are still distinct
     "ProHMR_MMPose": MeshRegressorConfig("ProHMR_MMPose", temporal=False,
                                          keypoint_fitting=True),
     "HybrIK": MeshRegressorConfig("HybrIK", temporal=False, num_iterations=1,

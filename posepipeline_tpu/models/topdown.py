@@ -74,10 +74,17 @@ class TopDownModel:
         if cfg.backbone.startswith("hrnet"):
             # the reference-checkpoint-parity architecture (HRNet-W32/W48 +
             # simple head, models/hrnet.py); width encoded in the name
+            from ..core.config import config
             from .hrnet import HRNetHeatmap
 
             width = int(cfg.backbone[len("hrnet"):] or "48")
-            self.net = HRNetHeatmap(num_joints=cfg.num_joints, width=width)
+            # tier-3 model-param registry override (tests scale the net
+            # down for CPU populate-path runs; production keeps defaults)
+            kw = dict(config.get("custom", {}).get("hrnet_model", {}))
+            if "stage_modules" in kw:
+                kw["stage_modules"] = tuple(kw["stage_modules"])
+            self.net = HRNetHeatmap(num_joints=cfg.num_joints,
+                                    width=kw.pop("width", width), **kw)
         else:
             self.net = TopDownNet(cfg)
         if params is None:

@@ -137,7 +137,11 @@ def top_down_keypoints(video_path: str, bboxes: np.ndarray, present: np.ndarray,
     """
     from ..models.topdown import get_topdown_model
 
-    model = get_topdown_model(method_name)
+    # lookup-row → registry aliases (the HRNet serving row runs the
+    # checkpoint-parity arch from the extras registry)
+    registry_name = {"MMPose_HRNetW48": "HRNetW48"}.get(method_name,
+                                                        method_name)
+    model = get_topdown_model(registry_name)
     T = len(bboxes)
     out = np.full((T, model.cfg.num_joints, 3), np.nan, np.float32)
     t = 0

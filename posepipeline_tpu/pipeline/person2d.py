@@ -202,6 +202,11 @@ class TopDownMethodLookup(Lookup):
         {"top_down_method": 12, "top_down_method_name": "Bridging_bml_movi_87"},
         {"top_down_method": 13, "top_down_method_name": "Bridging_smpl+head_30"},
         {"top_down_method": 14, "top_down_method_name": "Bridging_smplx_42"},
+        # serving row for the checkpoint-parity HRNet-W48 architecture
+        # (models/hrnet.py; the reference's actual flagship backbone,
+        # wrappers/mmpose.py:26-44) — same COCO-17 contract as MMPose but
+        # running the HRNet, so a converted real checkpoint is a file drop
+        {"top_down_method": 15, "top_down_method_name": "MMPose_HRNetW48"},
         {"top_down_method": 100, "top_down_method_name": "Synthetic"},
     ]
 
@@ -241,7 +246,8 @@ class TopDownPerson(Computed):
         bbox, present = (PersonBbox & key).fetch1("bbox", "present")
 
         if method in ("MMPose", "MMPoseWholebody", "MMPoseHalpe",
-                      "MMPoseHrformerCoco", "MMPoseTCFormerWholebody"):
+                      "MMPoseHrformerCoco", "MMPoseTCFormerWholebody",
+                      "MMPose_HRNetW48"):
             video = Video.get_robust_reader(key, return_cap=False)
             try:
                 kp = backends.top_down_keypoints(video, np.asarray(bbox), np.asarray(present),
@@ -294,6 +300,7 @@ class TopDownPerson(Computed):
             return get_joint_names("coco_25" if skeleton == "COCO_25" else skeleton)
         return {
             "MMPose": COCO_17,
+            "MMPose_HRNetW48": COCO_17,
             "MMPoseHrformerCoco": COCO_17,
             "MMPoseWholebody": COCO_WHOLEBODY_133,
             "MMPoseTCFormerWholebody": COCO_WHOLEBODY_133,

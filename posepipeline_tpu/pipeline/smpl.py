@@ -189,12 +189,17 @@ class SMPLPerson(Computed):
             (j3[..., 1] + ty[:, None]) * sy[:, None] * (height / 2) + height / 2,
         ], axis=-1)
 
-        # reference-parity strings ("SMPL" / "SMPL-X", pipeline.py:1564-1612)
-        # with an explicit "(toy)" marker when running on the procedural body
-        # (no SMPL[X]_MODEL_PATH) so nothing downstream mistakes toy geometry
-        # for real SMPL output
+        # reference-parity strings ("SMPL" / "SMPL-X", pipeline.py:1564-1612).
+        # Provenance markers for stand-in geometry: "(gen)" = the default
+        # full-layout generated body (6890 verts, real-SMPL tensor layout,
+        # models/smpl_body.full_body_model — real SMPL_NEUTRAL.npz is a
+        # drop-in env-var swap); "(toy)" = the 512-vertex test body. A real
+        # licensed asset yields the unmarked reference string.
         base = "SMPL-X" if model.cfg.body == "smplx" else "SMPL"
-        key["model_type"] = base + (" (toy)" if model.body.is_toy else "")
+        mt = model.body.p.model_type
+        suffix = (" (toy)" if model.body.is_toy
+                  else " (gen)" if mt.endswith("_fullgen") else "")
+        key["model_type"] = base + suffix
         key["cams"] = orig_cam
         key["poses"] = np.asarray(out["poses"])
         key["betas"] = np.asarray(out["betas"])
@@ -279,48 +284,66 @@ class CenterHMR(Computed):
     """
 
     def make(self, key):
-        """Bottom-up multi-person SMPL (the ROMP/CenterHMR slot,
-        reference pipeline.py:1709-1745): detector proposals + mesh regressor
-        per proposal, whole video batched."""
-        from . import backends
+        """Bottom-up multi-person SMPL (the ROMP/CenterHMR slot, reference
+        pipeline.py:1709-1745): ONE single-shot fully-convolutional forward
+        per frame — a body-center heatmap plus dense SMPL parameter maps,
+        people read out at heatmap peaks (models/romp.py) — no detector, no
+        per-person crops, exactly the wrapped repo's structure."""
+        import jax
+        import jax.numpy as jnp
+
         from ..media.video import frame_batches
-        from ..models.meshregressor import MeshRecoveryModel
-        from ..ops.warp import crop_image_bbox, normalize_imagenet
+        from ..models.romp import ROMPModel
+        from ..ops.warp import normalize_imagenet
 
         key = dict(key)
-        model = MeshRecoveryModel("ProHMR")  # single-frame head
+        model = ROMPModel()
+        th, tw = model.cfg.input_hw
         video = Video.get_robust_reader(key, return_cap=False)
         results = []
-        detector = None
+
+        @jax.jit
+        def prep(frames):
+            x = jax.image.resize(
+                jnp.asarray(frames, jnp.float32),
+                (frames.shape[0], th, tw, 3), "bilinear")
+            return normalize_imagenet(x)
+
         try:
             for frames, valid in frame_batches(video, 8):
-                if detector is None:
-                    detector = backends._get_detector((frames.shape[1], frames.shape[2]))
-                dboxes, dscores = detector(frames)
-                dboxes = np.asarray(dboxes)[:, :4]
-                dscores = np.asarray(dscores)[:, :4]
+                H_, W_ = frames.shape[1], frames.shape[2]
+                scale = max(W_, H_)
+                out = model(prep(frames))
+                scores = np.asarray(out["scores"])
+                j2 = np.asarray(out["joints2d"])       # (B, K, 24, 2) y-up
+                j3 = np.asarray(out["joints3d"])
+                poses = np.asarray(out["poses"])
+                betas = np.asarray(out["betas"])
+                cams = np.asarray(out["cams"])
                 for i in range(len(frames)):
                     if not valid[i]:
                         break
-                    keep = dscores[i] > 0.3
                     frame_res = []
-                    if keep.any():
-                        crops, _ = crop_image_bbox(
-                            np.repeat(frames[i][None], int(keep.sum()), 0),
-                            dboxes[i][keep], target_size=(224, 224), dilate=1.2)
-                        out = model(np.asarray(normalize_imagenet(crops)))
-                        W_, H_ = frames.shape[2], frames.shape[1]
-                        for p in range(int(keep.sum())):
-                            # pj2d normalized to (-0.5, 0.5) like the reference
-                            # consumer expects (pipeline.py:1757-1762)
-                            j2 = np.asarray(out["joints2d"])[p]
-                            frame_res.append(dict(
-                                pj2d=j2 / 2.0,
-                                cam=np.asarray(out["cams"])[p],
-                                poses=np.asarray(out["poses"])[p],
-                                betas=np.asarray(out["betas"])[p],
-                                j3d_smpl24=np.asarray(out["joints3d"])[p],
-                                bbox=dboxes[i][keep][p]))
+                    for p in range(model.cfg.max_people):
+                        if scores[i, p] < 0.3:
+                            continue
+                        # normalized square coords (y up) → the reference's
+                        # pj2d convention: image = pj2d·max(W,H) + [W,H]/2
+                        # (reference pipeline.py:1757-1762)
+                        pj2d = np.stack(
+                            [j2[i, p, :, 0] * W_, -j2[i, p, :, 1] * H_],
+                            axis=-1) / (2.0 * scale)
+                        img_xy = pj2d * scale + np.array([W_, H_]) / 2
+                        x0, y0 = img_xy.min(axis=0)
+                        x1, y1 = img_xy.max(axis=0)
+                        frame_res.append(dict(
+                            pj2d=pj2d.astype(np.float32),
+                            cam=cams[i, p],
+                            poses=poses[i, p],
+                            betas=betas[i, p],
+                            j3d_smpl24=j3[i, p],
+                            bbox=np.array([x0, y0, x1 - x0, y1 - y0],
+                                          np.float32)))
                     results.append(frame_res)
         finally:
             if os.path.exists(video):

@@ -139,27 +139,81 @@ def synthetic_video(
     seed: int = 0,
     path: Optional[str] = None,
     noise: float = 0.0,
+    hard: bool = False,
 ) -> SyntheticClip:
-    """Render a walking-stick-figure clip and return it with ground truth."""
+    """Render a walking-stick-figure clip and return it with ground truth.
+
+    ``hard=True`` is the **hardened eval protocol** (VERDICT r3 weak #2: the
+    easy protocol saturated at PCK 1.000 and stopped measuring anything).
+    It adds, deterministically per seed:
+
+    - background clutter: random gradient + line/rectangle distractors in
+      person-like colors,
+    - a moving occluder bar that periodically crosses each subject,
+    - wider scale range (small people down to 0.22×height) and per-frame
+      brightness jitter,
+    - one *distractor person* (smaller, not ground truth) when
+      ``num_people == 1``, so detection must pick the subject.
+
+    Ground truth keypoints/boxes stay exact for the ``num_people`` subjects;
+    the distractor is rendered but not annotated (like an unannotated
+    passer-by in clinical footage — the reference's annotation gate exists
+    for exactly these, reference pipeline.py:637-707).
+    """
     rng = np.random.default_rng(seed)
     if path is None:
         fd, path = tempfile.mkstemp(suffix=".mp4")
         os.close(fd)
 
-    scales = rng.uniform(0.35, 0.5, num_people) * height
+    if hard:
+        scales = rng.uniform(0.22, 0.6, num_people) * height
+    else:
+        scales = rng.uniform(0.35, 0.5, num_people) * height
     x0 = rng.uniform(0.2, 0.8, num_people) * width
     y0 = np.full(num_people, 0.52) * height
     vx = rng.uniform(-2.0, 2.0, num_people)
     phase0 = rng.uniform(0, 2 * np.pi, num_people)
 
+    # hardened-protocol furniture (fixed per clip, deterministic)
+    if hard:
+        n_clutter = 6
+        cl_xy = rng.uniform(0, 1, (n_clutter, 2)) * [width, height]
+        cl_wh = rng.uniform(0.04, 0.18, (n_clutter, 2)) * [width, height]
+        cl_col = [tuple(int(c) for c in rng.integers(30, 200, 3))
+                  for _ in range(n_clutter)]
+        grad = (np.linspace(0, rng.uniform(10, 40), width)[None, :, None]
+                + np.linspace(0, rng.uniform(5, 25), height)[:, None, None])
+        occ_w = rng.uniform(0.04, 0.09) * width
+        occ_speed = rng.uniform(2.0, 5.0) * (1 if rng.random() < 0.5 else -1)
+        occ_x0 = rng.uniform(0, width)
+        # distractor person (unannotated) when the clip is single-subject
+        dis_scale = (0.55 + 0.2 * rng.random()) * scales[0]
+        dis_x0 = rng.uniform(0.2, 0.8) * width
+        dis_vx = rng.uniform(-3.0, 3.0)
+        dis_phase = rng.uniform(0, 2 * np.pi)
+
     all_joints = np.zeros((num_frames, num_people, 17, 2))
     frames: List[np.ndarray] = []
     for t in range(num_frames):
         frame = np.full((height, width, 3), 16, dtype=np.uint8)
+        if hard:
+            b = 1.0 + 0.25 * np.sin(0.13 * t + seed)   # brightness flicker
+            frame = np.clip(frame + grad * b, 0, 255).astype(np.uint8)
+            for i in range(n_clutter):
+                x, y = cl_xy[i]
+                w_, h_ = cl_wh[i]
+                cv2.rectangle(frame, (int(x), int(y)),
+                              (int(x + w_), int(y + h_)), cl_col[i], 2)
         if noise > 0:
             frame = np.clip(
                 frame.astype(np.int16) + rng.integers(-int(noise), int(noise) + 1, frame.shape),
                 0, 255).astype(np.uint8)
+        if hard and num_people == 1:
+            # unannotated distractor behind the subject
+            dx = np.clip(dis_x0 + dis_vx * t, 0.1 * width, 0.9 * width)
+            dj = stick_figure(dx, 0.5 * height, dis_scale, dis_phase + 0.3 * t)
+            _draw_person(frame, dj, _PERSON_COLORS[3],
+                         thickness=max(2, int(dis_scale / 60)))
         for p in range(num_people):
             cx = x0[p] + vx[p] * t
             cx = np.clip(cx, 0.15 * width, 0.85 * width)
@@ -167,6 +221,11 @@ def synthetic_video(
             all_joints[t, p] = joints
             _draw_person(frame, joints, _PERSON_COLORS[p % len(_PERSON_COLORS)],
                          thickness=max(2, int(scales[p] / 60)))
+        if hard:
+            # occluder bar crosses the scene in front of everyone
+            ox = (occ_x0 + occ_speed * t) % (width + occ_w) - occ_w / 2
+            cv2.rectangle(frame, (int(ox), 0), (int(ox + occ_w), height),
+                          (90, 90, 90), -1)
         frames.append(frame)
 
     # TLHW ground-truth boxes with a margin covering limb/round-cap thickness

@@ -630,6 +630,155 @@ class MeshTrainer:
         return all_losses[:steps]
 
 
+def romp_scene_sampler(model):
+    """Device-rendered two-person scene sampler for the single-shot
+    CenterHMR/ROMP slot: sample_scene(key) → (img, center_map, cells,
+    targets (2, P), cams (2, 3)). Shared by ROMPTrainer and the held-out
+    eval (scripts/eval_slot_accuracy.py) so train/eval measure the same
+    geometry."""
+    from . import synthjax
+    from .models.smpl_body import rodrigues
+    from .ops.mesh_raster import rasterize_mesh
+
+    cfg = model.cfg
+    body = model.body
+    J = body.num_joints
+    th, tw = cfg.input_hw
+    gh, gw = th // cfg.stride, tw // cfg.stride
+    faces = jnp.asarray(body.p.faces)
+    n_people = 2
+
+    def sample_person(k, side):
+        kp, kb, ks, kt = jax.random.split(k, 4)
+        aa = 0.25 * jax.random.normal(kp, (J, 3))
+        aa = aa.at[0].multiply(0.3)
+        betas = 0.5 * jax.random.normal(kb, (cfg.n_betas,))
+        s = jax.random.uniform(ks, (), minval=0.3, maxval=0.55)
+        # lateral separation: person 0 left half, person 1 right half
+        tx = jax.random.uniform(kt, (), minval=0.1, maxval=0.55) * side
+        ty = jax.random.uniform(jax.random.fold_in(kt, 1), (),
+                                minval=-0.2, maxval=0.2)
+        cam = jnp.stack([s, tx, ty])
+        R = rodrigues(aa)
+        verts, joints = body._forward(betas[None], R[None],
+                                      jnp.zeros((1, 3)))
+        verts = verts[0] - joints[0, :1]
+        xy = s * verts[:, :2] + cam[None, 1:]
+        px = (xy[:, 0] + 1.0) * 0.5 * tw
+        py = (1.0 - xy[:, 1]) * 0.5 * th
+        mask, shade = rasterize_mesh(jnp.stack([px, py], -1),
+                                     -verts[:, 2], faces,
+                                     out_hw=(th, tw))
+        pose6d = jnp.concatenate([R[:, 0, :], R[:, 1, :]], -1)
+        target = jnp.concatenate([pose6d.reshape(-1), betas, cam])
+        return mask, shade, target, cam
+
+    def sample_scene(k):
+        k0, k1, kcol, kaug = jax.random.split(k, 4)
+        m0, s0, t0, cam0 = sample_person(k0, -1.0)
+        m1, s1, t1, cam1 = sample_person(k1, 1.0)
+        c0 = synthjax._sample_color(kcol)
+        c1 = synthjax._sample_color(jax.random.fold_in(kcol, 1))
+        img = jnp.full((th, tw, 3), 16.0)
+        img = img + m0[..., None] * ((0.35 + 0.65 * s0[..., None]) * c0
+                                     - img)
+        img = img + m1[..., None] * ((0.35 + 0.65 * s1[..., None]) * c1
+                                     - img)
+        img = synthjax.photometric(kaug, img)
+        cams = jnp.stack([cam0, cam1])              # (2, 3)
+        targets = jnp.stack([t0, t1])               # (2, P)
+        # GT center heatmap at stride: pelvis projects to (tx, ty)
+        cxp = (cams[:, 1] + 1.0) * 0.5 * gw
+        cyp = (1.0 - cams[:, 2]) * 0.5 * gh
+        yy = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0)
+        xx = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 1)
+        sigma = jnp.maximum(cams[:, 0] * gh / 3.0, 1.0)
+        d2 = ((yy[None] - cyp[:, None, None]) ** 2
+              + (xx[None] - cxp[:, None, None]) ** 2)
+        center = jnp.exp(-d2 / (2 * sigma[:, None, None] ** 2))
+        ix = jnp.clip(jnp.floor(cxp), 0, gw - 1).astype(jnp.int32)
+        iy = jnp.clip(jnp.floor(cyp), 0, gh - 1).astype(jnp.int32)
+        peak = jnp.zeros((n_people, gh, gw)).at[
+            jnp.arange(n_people), iy, ix].set(1.0)
+        center = jnp.maximum(center, peak).max(axis=0)
+        cells = iy * gw + ix                        # (2,)
+        return img, center, cells, targets, cams
+
+    return sample_scene
+
+
+class ROMPTrainer:
+    """Fit the single-shot CenterHMR/ROMP net on device-rendered
+    multi-person scenes.
+
+    Per step (all on device): sample TWO bodies with separated weak-persp
+    cameras → LBS + z-buffer rasterize both onto one canvas (the later body
+    occludes) → photometric aug → focal loss on the body-center heatmap +
+    L2 on the dense parameter map gathered at the GT center cells. This is
+    the single-shot training contract of the wrapped ROMP repo (reference
+    pipeline.py:1709-1745) on the synthetic fixture family."""
+
+    def __init__(self, model, learning_rate: float = 1e-3):
+        self.model = model
+        self.lr = learning_rate
+
+    def fit_device(self, steps: int = 600, batch: int = 8, seed: int = 0,
+                   scan_len: int = 25, log_every: int = 0):
+        from .ops.warp import normalize_imagenet
+
+        model = self.model
+        cfg = model.cfg
+        th, tw = cfg.input_hw
+        gh, gw = th // cfg.stride, tw // cfg.stride
+        warmup = min(max(steps // 20, 10), max(steps // 2, 1))
+        opt = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(optax.schedules.warmup_cosine_decay_schedule(
+                0.0, self.lr, warmup, max(steps, warmup + 1),
+                self.lr * 0.05)))
+        opt_state = opt.init(model.params)
+        sample_scene = romp_scene_sampler(model)
+
+        @jax.jit
+        def scan_steps(params, opt_state, key):
+            def bodyf(carry, k):
+                params, opt_state = carry
+                imgs, centers, cells, targets, _cams = jax.vmap(sample_scene)(
+                    jax.random.split(k, batch))
+                x = normalize_imagenet(imgs)
+
+                def loss_fn(p):
+                    logits, pmap = model.net.apply(p, x)
+                    l_center = center_focal_loss(logits, centers)
+                    P = pmap.shape[-1]
+                    pred = jnp.take_along_axis(
+                        pmap.reshape(batch, gh * gw, P),
+                        cells[..., None], axis=1)       # (B, 2, P)
+                    l_param = jnp.mean((pred - targets) ** 2)
+                    return l_center + 5.0 * l_param
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = opt.update(grads, opt_state)
+                return (optax.apply_updates(params, updates), opt_state), loss
+
+            keys = jax.random.split(key, scan_len)
+            (params, opt_state), losses = jax.lax.scan(
+                bodyf, (params, opt_state), keys)
+            return params, opt_state, losses
+
+        params = model.params
+        all_losses = []
+        root = jax.random.PRNGKey(seed)
+        for chunk in range((steps + scan_len - 1) // scan_len):
+            params, opt_state, losses = scan_steps(
+                params, opt_state, jax.random.fold_in(root, chunk))
+            all_losses.extend(np.asarray(losses).tolist())
+            if log_every:
+                print(f"romp step {len(all_losses)}: loss {all_losses[-1]:.4f}")
+        model.params = params
+        return all_losses[:steps]
+
+
 # ---------------------------------------------------------------------------
 # Bridging (MeTRAbs slot) trainer
 # ---------------------------------------------------------------------------
@@ -689,8 +838,17 @@ class BridgingTrainer:
                 kp25 = kp25.at[:, 1].set(mid_neck).at[:, 8].set(mid_hip)
                 mask = b25_mask.at[1].set(1.0).at[8].set(1.0)
                 uv_t = kp25 / jnp.asarray([tw, th], jnp.float32)
-                z0 = jax.random.uniform(kz, (batch, 1), minval=1500.0,
-                                        maxval=6000.0)
+                # pinhole-consistent absolute depth: apparent person size in
+                # the crop determines metric depth (z = f·H/h), so the depth
+                # head has a real visual signal to learn — a depth drawn
+                # independently of the pixels (round-3 form) is unlearnable
+                # noise by construction. 10% multiplicative jitter models
+                # true-height variation across subjects.
+                ext = jnp.maximum(
+                    kp17[..., 1].max(-1) - kp17[..., 1].min(-1), 8.0)  # px
+                z_geo = 2500.0 * (0.55 * th) / ext
+                jitter = 1.0 + 0.1 * jax.random.normal(kz, (batch,))
+                z0 = jnp.clip(z_geo * jitter, 1200.0, 8000.0)[:, None]
 
                 def loss_fn(p):
                     uv, z = self.model.net.apply(p, crops_norm)

@@ -73,29 +73,21 @@ def eval_head(model, batch_fn, batches: int = 8, batch: int = 16,
     return hits02 / max(total, 1), hits01 / max(total, 1), total
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batches", type=int, default=8)
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--only", default="",
-                    help="comma-separated subset of head ids (e.g. "
-                         "MMPoseHalpe,hand,face)")
-    args = ap.parse_args()
-    os.environ.setdefault(
-        "PPT_WEIGHTS_DIR",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "weights"))
+HEAD_LABELS = {"hand": "hand (21-joint, shared)",
+               "face": "face (70-point OpenPose)"}
 
-    from posepipeline_tpu.models.init_util import enable_compilation_cache
 
-    enable_compilation_cache()
+def head_builders():
+    """Lazy model builders keyed by comma-free head id.
 
+    Comma-free ids (ADVICE r3: names with commas could never match --only,
+    and unknown ids silently produced an empty table). Models are built
+    lazily so subset runs do not pay full-registry init (~100 s). Exposed at
+    module level so scripts/eval_accuracy.py can fold these rows into
+    ACCURACY.md with the same loaders."""
     from posepipeline_tpu import synthjax
     from posepipeline_tpu.models.topdown import get_topdown_model
 
-    # comma-free head ids (ADVICE r3: names with commas could never match
-    # --only, and unknown ids silently produced an empty table). Models are
-    # built lazily so subset runs do not pay full-registry init (~100 s).
     def _topdown(name):
         model = get_topdown_model(name)
         bf = functools.partial(synthjax.topdown_joints_batch,
@@ -117,7 +109,7 @@ def main():
         return face, functools.partial(synthjax.face_crop_batch,
                                        crop_hw=face.cfg.input_hw)
 
-    heads = {
+    return {
         "MMPoseWholebody": lambda: _topdown("MMPoseWholebody"),
         "MMPoseHalpe": lambda: _topdown("MMPoseHalpe"),
         "MMPoseHrformerCoco": lambda: _topdown("MMPoseHrformerCoco"),
@@ -125,8 +117,27 @@ def main():
         "hand": _hand,       # 21-joint net shared by every hand slot
         "face": _face,       # 70-point OpenPose face layout
     }
-    labels = {"hand": "hand (21-joint, shared)",
-              "face": "face (70-point OpenPose)"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--only", default="",
+                    help="comma-separated subset of head ids (e.g. "
+                         "MMPoseHalpe,hand,face)")
+    args = ap.parse_args()
+    os.environ.setdefault(
+        "PPT_WEIGHTS_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "weights"))
+
+    from posepipeline_tpu.models.init_util import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    heads = head_builders()
+    labels = HEAD_LABELS
 
     if args.only:
         requested = [s.strip() for s in args.only.split(",") if s.strip()]

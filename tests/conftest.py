@@ -58,6 +58,16 @@ _cfg["custom"]["face_model"] = {
     "dim": 64, "depth": 2, "num_heads": 2,
     "input_hw": (64, 64), "heatmap_hw": (16, 16)}
 _cfg["custom"]["bottomup_model"] = {"widths": (8, 16, 32, 64)}
+# tiny HRNet for the MMPose_HRNetW48 populate-path test (full W48 fwd on a
+# 1-core CPU box costs minutes; the dispatch path is identical)
+_cfg["custom"]["hrnet_model"] = {"width": 8, "stage_modules": (1, 2, 2)}
+# 512-vertex toy body for CPU mesh tests (production defaults to the
+# 6890-vertex full-layout generated body; test_smpl_fitting has a dedicated
+# full-layout test)
+_cfg["custom"]["body_model"] = {"variant": "toy"}
+# tiny single-shot CenterHMR/ROMP net for CPU populate-path tests
+_cfg["custom"]["romp_model"] = {"widths": (8, 16, 32, 64), "head_dim": 16,
+                                "max_people": 4, "input_hw": (128, 128)}
 # cache the fallback-trained motion prior across suite runs (saves ~20 s of
 # in-process CVAE training per run); only files that exist are ever loaded
 os.environ.setdefault("PPT_WEIGHTS_DIR",

@@ -26,6 +26,8 @@ EXPECTED = [
     "topdown__MMPoseHalpe.npz",
     "topdown__MMPoseHrformerCoco.npz",
     "topdown__MMPoseTCFormerWholebody.npz",
+    "topdown__HRNetW48.npz",      # MMPose_HRNetW48 serving row (parity arch)
+    "mesh__CenterHMR.npz",        # single-shot ROMP net (CenterHMR slot)
     # hand + face nets (OpenPose composite / HandPoseEstimation slots)
     "topdown__hand.npz",
     "topdown__face_OpenPose.npz",

@@ -269,6 +269,110 @@ def convert_hrnet(torch_state: Dict[str, np.ndarray],
     return {"params": {"backbone": out, "final_layer": head}}
 
 
+def convert_resnet(s: Dict[str, np.ndarray], prefix: str = "backbone.") -> Dict:
+    """torchvision-layout ResNet (mmdet/SPIN backbones) → models/resnet.ResNet.
+
+    Stage/block/downsample structure is discovered from the key set, so
+    resnet18/34/50 convert with one code path; every BatchNorm folds into
+    its conv (the flax trunk is stat-free)."""
+    out: Dict = {"conv1": _conv2d_bn_pair(s, f"{prefix}conv1", f"{prefix}bn1")}
+    layer_ids = sorted({int(k[len(prefix) + 5]) for k in s
+                        if k.startswith(f"{prefix}layer")})
+    for li in layer_ids:
+        blocks = sorted({int(k.split(".")[1 + prefix.count(".")]) for k in s
+                         if k.startswith(f"{prefix}layer{li}.")})
+        for n in blocks:
+            bp = f"{prefix}layer{li}.{n}"
+            blk: Dict = {}
+            for ci in (1, 2, 3):
+                if f"{bp}.conv{ci}.weight" in s:
+                    blk[f"conv{ci}"] = _conv2d_bn_pair(s, f"{bp}.conv{ci}",
+                                                       f"{bp}.bn{ci}")
+            if f"{bp}.downsample.0.weight" in s:
+                blk["downsample"] = _conv2d_bn_pair(s, f"{bp}.downsample.0",
+                                                    f"{bp}.downsample.1")
+            out[f"layer{li}_{n}"] = blk
+    return out
+
+
+def _conv2d_bn_pair(s, conv, bn):
+    """Conv2d (+BN if its keys exist) → biased flax Conv params."""
+    if f"{bn}.weight" in s:
+        return _conv2d_bn(s, conv, bn)
+    return t2f_conv2d(s[f"{conv}.weight"], s.get(f"{conv}.bias"))
+
+
+def convert_centernet(s: Dict[str, np.ndarray]) -> Dict:
+    """mmdet CenterNet (resnet18 + CTResNetNeck + CenterNetHead) →
+    models/resnet.CenterNetParity.
+
+    Neck Sequential layout per upsample stage i: ConvModule at 3i
+    (``.conv``/``.bn``), ConvTranspose2d at 3i+1, BatchNorm at 3i+2.
+    Heads: ``bbox_head.{heatmap,wh,offset}_head.{0,2}`` (3×3 conv, ReLU,
+    1×1 conv). Reference detector role: every tracker's first stage
+    (reference wrappers/deep_sort_yolov4, mmtrack), hand boxes via mmdet
+    (reference wrappers/hand_bbox.py:8-61)."""
+    backbone = convert_resnet(s, "backbone.")
+    neck: Dict = {}
+    for i in range(3):
+        neck[f"conv{i}"] = _conv2d_bn_pair(
+            s, f"neck.deconv_layers.{3 * i}.conv",
+            f"neck.deconv_layers.{3 * i}.bn")
+        neck[f"deconv{i}"] = _deconv_with_bn(
+            s, f"neck.deconv_layers.{3 * i + 1}",
+            f"neck.deconv_layers.{3 * i + 2}")
+    out: Dict = {"backbone": backbone, "neck": neck}
+    for head in ("heatmap", "wh", "offset"):
+        out[f"{head}_conv"] = t2f_conv2d(
+            s[f"bbox_head.{head}_head.0.weight"],
+            s.get(f"bbox_head.{head}_head.0.bias"))
+        out[f"{head}_out"] = t2f_conv2d(
+            s[f"bbox_head.{head}_head.2.weight"],
+            s.get(f"bbox_head.{head}_head.2.bias"))
+    return {"params": out}
+
+
+def convert_simplebaseline(s: Dict[str, np.ndarray]) -> Dict:
+    """mmpose SimpleBaseline (ResNet + TopdownHeatmapSimpleHead) →
+    models/resnet.SimpleBaselineParity.
+
+    Published layout: ``backbone.*`` torchvision ResNet;
+    ``keypoint_head.deconv_layers.{0,3,6}`` bias-free ConvTranspose2d with
+    BatchNorm at ``{1,4,7}`` (folded into the flax deconv bias);
+    ``keypoint_head.final_layer`` 1×1 conv. This is the checkpoint family
+    of mmpose's hand/face/body ResNet models (res50_onehand10k, res50_wflw,
+    res50_coco — the hand/face heads the reference serves, reference
+    wrappers/hand_estimation.py:10-77)."""
+    out: Dict = {"backbone": convert_resnet(s, "backbone.")}
+    for i in range(3):
+        out[f"deconv{i}"] = _deconv_with_bn(
+            s, f"keypoint_head.deconv_layers.{3 * i}",
+            f"keypoint_head.deconv_layers.{3 * i + 1}")
+    out["final_layer"] = t2f_conv2d(
+        s["keypoint_head.final_layer.weight"],
+        s.get("keypoint_head.final_layer.bias"))
+    return {"params": out}
+
+
+def convert_spin(s: Dict[str, np.ndarray]) -> Dict:
+    """SPIN/VIBE HMR regressor (resnet50 trunk + fc1/fc2/decpose/decshape/
+    deccam iterative head + init buffers) → models/resnet.SPINRegressorParity.
+
+    Accepts both the bare SPIN ``hmr`` layout (``conv1.weight`` …) and
+    VIBE's ``regressor.``-prefixed variant. Reference consumers:
+    wrappers/vibe.py:11-74 (SPIN features), wrappers/pare.py, prohmr."""
+    if any(k.startswith("regressor.") for k in s):
+        s = {k[len("regressor."):]: v for k, v in s.items()
+             if k.startswith("regressor.")}
+    out: Dict = {"backbone": convert_resnet(s, "")}
+    for name in ("fc1", "fc2", "decpose", "decshape", "deccam"):
+        out[name] = t2f_linear(s[f"{name}.weight"], s.get(f"{name}.bias"))
+    for buf in ("init_pose", "init_shape", "init_cam"):
+        if buf in s:
+            out[buf] = np.asarray(s[buf]).reshape(1, -1)
+    return {"params": out}
+
+
 def t2f_conv_transpose2d(weight, bias=None):
     """torch ConvTranspose2d (I, O, kh, kw) → flax ConvTranspose with
     ``transpose_kernel=True`` (kernel layout (kh, kw, O, I) — the
@@ -346,7 +450,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", required=True, help="torch checkpoint (.pth)")
     ap.add_argument("--arch", required=True,
-                    choices=["vitpose", "videopose3d", "hrnet"])
+                    choices=["vitpose", "videopose3d", "hrnet", "centernet",
+                             "spin", "simplebaseline"])
     ap.add_argument("--out", required=True, help="output .npz")
     args = ap.parse_args()
 
@@ -361,6 +466,12 @@ def main():
         params = convert_videopose3d(state)
     elif args.arch == "hrnet":
         params = convert_hrnet(state)
+    elif args.arch == "centernet":
+        params = convert_centernet(state)
+    elif args.arch == "spin":
+        params = convert_spin(state)
+    elif args.arch == "simplebaseline":
+        params = convert_simplebaseline(state)
     elif any(k.startswith("backbone.") for k in state):
         params = convert_vitpose(state)
     else:
