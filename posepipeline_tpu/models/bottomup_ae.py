@@ -172,5 +172,6 @@ def get_bottomup_model(name: str = "AEBottomUp") -> AEBottomUpModel:
         path = registry_weights_path("bottomup", name)
         if path:
             model.params = merge_params(model.params, load_params(path))
+        model.weights_loaded = bool(path)
         _ae_cache[name] = model
     return _ae_cache[name]

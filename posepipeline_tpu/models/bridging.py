@@ -127,6 +127,7 @@ class BridgingModel:
 
         self.cfg = cfg
         self.net = BridgingNet(cfg)
+        self.weights_loaded = params is not None
         if params is None:
             dummy = jnp.zeros((1, *cfg.input_hw, 3), jnp.float32)
             from .init_util import init_on_cpu
@@ -135,6 +136,7 @@ class BridgingModel:
             if path:
                 params = commit_to_default(
                     merge_params(params, load_params(path)))
+                self.weights_loaded = True
         self.params = params
 
     @functools.partial(jax.jit, static_argnums=0)

@@ -198,6 +198,14 @@ class MeshRecoveryModel:
             R = rotation_6d_to_matrix(pose6d)
         verts, joints3d = self.body._forward(
             betas, R, jnp.zeros((betas.shape[0], 3), jnp.float32))
+        # pelvis-centered output frame: the regressor's cam was trained
+        # against pelvis-centered geometry (train.MeshTrainer sample()), so
+        # joints/verts must be centered before the weak-perspective cam
+        # applies (uncentered output put a constant s*pelvis_xy offset on
+        # every projected joint)
+        pelvis = joints3d[:, :1]
+        joints3d = joints3d - pelvis
+        verts = verts - pelvis
         joints2d = project_weak_perspective(joints3d, cam)
         return pose6d, betas, cam, joints3d, joints2d, verts
 

@@ -482,6 +482,29 @@ class BodyModel:
                  + T[..., :3, 3])
         return verts + transl[:, None], posed_joints + transl[:, None]
 
+    def forward_joints(self, betas, pose_rotmats):
+        """Posed joints only (B, J, 3): the FK chain without the
+        pose-corrective blendshapes or LBS — those shape vertices, not the
+        regressed joint tree. Cheap enough to sit inside a training loss
+        (train.MeshTrainer's FK joint term)."""
+        p = self.p
+        v_template = jnp.asarray(p.v_template)
+        shapedirs = jnp.asarray(p.shapedirs)
+        J_reg = jnp.asarray(p.J_regressor)
+        parents = p.parents
+
+        v_shaped = v_template[None] + jnp.einsum("vcb,nb->nvc", shapedirs, betas)
+        joints = jnp.einsum("jv,nvc->njc", J_reg, v_shaped)
+        R = pose_rotmats
+        pos = [joints[:, 0]]
+        rot = [R[:, 0]]
+        for j in range(1, len(parents)):
+            pj = parents[j]
+            off = joints[:, j] - joints[:, pj]
+            pos.append(pos[pj] + jnp.einsum("nik,nk->ni", rot[pj], off))
+            rot.append(jnp.einsum("nij,njk->nik", rot[pj], R[:, j]))
+        return jnp.stack(pos, axis=1)
+
     def __call__(self, betas, pose, transl=None, pose_format: str = "aa"):
         """betas (B, n) ; pose (B, 24, 3) axis-angle | (B, 24, 3, 3) | (B, 24, 6).
 

@@ -99,6 +99,9 @@ class KeypointFitter:
             R = rotation_6d_to_matrix(pose6d)
             _, joints3d = self.body._forward(
                 betas, R, jnp.zeros((betas.shape[0], 3), jnp.float32))
+            # pelvis-centered frame, matching the regressor output the
+            # initial (pose6d0, cam0) came from (meshregressor._infer)
+            joints3d = joints3d - joints3d[:, :1]
             j2 = project_weak_perspective(joints3d, cam)
             pred = j2[:, self._smpl_idx]
             tgt = kp_norm_conf[:, self._coco_idx]
@@ -124,7 +127,8 @@ class KeypointFitter:
         R = rotation_6d_to_matrix(pose6d)
         verts, joints3d = self.body._forward(
             betas, R, jnp.zeros((betas.shape[0], 3), jnp.float32))
-        return pose6d, cam, joints3d, verts, losses
+        pelvis = joints3d[:, :1]
+        return pose6d, cam, joints3d - pelvis, verts - pelvis, losses
 
     def __call__(self, pose6d, betas, cam, kp_norm_conf):
         """Refine (pose6d (T, J, 6), cam (T, 3)) against crop-normalized

@@ -248,8 +248,10 @@ class SMPLPersonVideo(Computed):
         # (models/meshregressor.py _infer), so the stored cams apply directly
         body = BodyModel(model="smplx" if poses.shape[1] == 55 else "smpl")
         pose_format = "6d" if poses.shape[-1] == 6 else "aa"
-        verts, _ = body(betas, poses, pose_format=pose_format)
-        verts = np.asarray(verts)
+        verts, joints = body(betas, poses, pose_format=pose_format)
+        # pelvis-centered like the regressor's stored frame, so the stored
+        # cams place the mesh where the projection was trained to land
+        verts = np.asarray(verts - joints[:, :1])
         faces = body.p.faces
         video = (BlurredVideo & key).fetch1("output_video")
 

@@ -139,6 +139,65 @@ def photometric(key, img, noise: float = 8.0):
     return jnp.clip(img, 0.0, 255.0)
 
 
+def hard_furniture(key, img, p: float = 0.7):
+    """Occluding rectangles + a bar stripe, drawn over ``img``: the
+    train-time counterpart of the hardened eval protocol's furniture
+    (testing.synthetic_video(hard=True) — occluder bar, clutter). Without
+    it, nets trained on clean renders collapse the moment the protocol
+    gains occlusion."""
+    H, W = img.shape[:2]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + 0.5
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + 0.5
+    wh_scale = jnp.asarray([W, H], jnp.float32)
+
+    def rect(k, img, active_p):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        active = (jax.random.uniform(k1) < active_p).astype(jnp.float32)
+        wh = jax.random.uniform(k2, (2,), minval=0.08, maxval=0.30) * wh_scale
+        c = jax.random.uniform(k3, (2,)) * wh_scale
+        m = ((jnp.abs(xx - c[0]) < wh[0] / 2)
+             & (jnp.abs(yy - c[1]) < wh[1] / 2)).astype(jnp.float32) * active
+        return img + m[..., None] * (_sample_color(k4) - img)
+
+    def bar(k, img, active_p):
+        k1, k2, k3, k4, k5 = jax.random.split(k, 5)
+        active = (jax.random.uniform(k1) < active_p).astype(jnp.float32)
+        ang = jax.random.uniform(k2, (), minval=0.0, maxval=np.pi)
+        n = jnp.stack([jnp.cos(ang), jnp.sin(ang)])
+        span = jnp.abs(n[0]) * W + jnp.abs(n[1]) * H
+        off = jax.random.uniform(k3, (), minval=0.2, maxval=0.8) * span
+        halfw = jax.random.uniform(k4, (), minval=0.015, maxval=0.05) \
+            * (H + W) / 2
+        m = (jnp.abs(xx * n[0] + yy * n[1] - off) < halfw) \
+            .astype(jnp.float32) * active
+        return img + m[..., None] * (_sample_color(k5) - img)
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    img = rect(k1, img, p * 0.6)
+    img = rect(k2, img, p * 0.4)
+    return bar(k3, img, p * 0.5)
+
+
+def clutter_background(key, hw: Tuple[int, int], n: int = 4,
+                       base: float = 16.0):
+    """Background plane with ``n`` random rectangles — the hardened
+    protocol's background clutter, for rendering people OVER."""
+    H, W = hw
+    img = jnp.full((H, W, 3), base)
+    for k in jax.random.split(key, n):
+        k1, k2, k3 = jax.random.split(k, 3)
+        yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + 0.5
+        xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + 0.5
+        wh = jax.random.uniform(k1, (2,), minval=0.05, maxval=0.25) \
+            * jnp.asarray([W, H], jnp.float32)
+        c = jax.random.uniform(k2, (2,)) * jnp.asarray([W, H], jnp.float32)
+        m = ((jnp.abs(xx - c[0]) < wh[0] / 2)
+             & (jnp.abs(yy - c[1]) < wh[1] / 2)).astype(jnp.float32)
+        # dim clutter: visible structure that never outshines the person
+        img = img + m[..., None] * (0.4 * _sample_color(k3) - img) * 0.8
+    return img
+
+
 def _fix_aspect(box, dilate, ratio):
     """jnp twin of ops.boxes.fix_aspect_ratio for one (4,) TLHW box."""
     center = box[:2] + box[2:] / 2.0
@@ -166,9 +225,10 @@ def sample_topdown_crop(key, crop_hw: Tuple[int, int] = (256, 192),
     kp_key, col_key, jit_key, aug_key, th_key = jax.random.split(key, 5)
     k1, k2, k3, k4 = jax.random.split(kp_key, 4)
     # virtual-frame person (same distribution as testing.synthetic_frames
-    # at an arbitrary reference frame height of 256)
+    # at an arbitrary reference frame height of 256; scale floor matches the
+    # hardened protocol's 0.22×H small-person regime)
     fh = 256.0
-    scale = jax.random.uniform(k1, (), minval=0.35, maxval=0.6) * fh
+    scale = jax.random.uniform(k1, (), minval=0.22, maxval=0.6) * fh
     cx = jax.random.uniform(k2, (), minval=0.4, maxval=0.6) * fh
     cy = jax.random.uniform(k3, (), minval=0.45, maxval=0.6) * fh
     phase = jax.random.uniform(k4, (), minval=0.0, maxval=2 * np.pi)
@@ -195,8 +255,11 @@ def sample_topdown_crop(key, crop_hw: Tuple[int, int] = (256, 192),
     kp_crop = (joints - fixed[:2]) * jnp.stack([sx, sy])
     thickness = jnp.maximum(2.0, scale / 60.0) * (sx + sy) * 0.5
     color = _sample_color(col_key)
-    img = render_person(kp_crop, color, thickness, crop_hw)
-    img = photometric(aug_key, img)
+    ka, kb, kc = jax.random.split(aug_key, 3)
+    img = render_person(kp_crop, color, thickness, crop_hw,
+                        background=clutter_background(kb, crop_hw))
+    img = hard_furniture(kc, img)
+    img = photometric(ka, img)
     return img, kp_crop
 
 
@@ -205,7 +268,7 @@ def sample_detector_frame(key, hw: Tuple[int, int] = (240, 320)):
     H, W = hw
     kp_key, col_key, aug_key = jax.random.split(key, 3)
     k1, k2, k3, k4 = jax.random.split(kp_key, 4)
-    scale = jax.random.uniform(k1, (), minval=0.3, maxval=0.6) * H
+    scale = jax.random.uniform(k1, (), minval=0.22, maxval=0.6) * H
     cx = jax.random.uniform(k2, (), minval=0.2, maxval=0.8) * W
     cy = jax.random.uniform(k3, (), minval=0.4, maxval=0.65) * H
     phase = jax.random.uniform(k4, (), minval=0.0, maxval=2 * np.pi)
@@ -215,8 +278,11 @@ def sample_detector_frame(key, hw: Tuple[int, int] = (240, 320)):
     maxs = joints.max(0) + margin
     box = jnp.concatenate([mins, maxs - mins])
     thickness = jnp.maximum(2.0, scale / 60.0)
-    img = render_person(joints, _sample_color(col_key), thickness, hw)
-    img = photometric(aug_key, img)
+    ka, kb, kc = jax.random.split(aug_key, 3)
+    img = render_person(joints, _sample_color(col_key), thickness, hw,
+                        background=clutter_background(kb, hw))
+    img = hard_furniture(kc, img)
+    img = photometric(ka, img)
     return img, box
 
 

@@ -536,7 +536,7 @@ class MeshTrainer:
     def fit_device(self, steps: int = 600, batch: int = 8, seed: int = 0,
                    scan_len: int = 25, log_every: int = 0):
         from . import synthjax
-        from .models.smpl_body import rodrigues
+        from .models.smpl_body import rodrigues, rotation_6d_to_matrix
         from .ops.mesh_raster import rasterize_mesh
         from .ops.warp import normalize_imagenet
 
@@ -599,14 +599,29 @@ class MeshTrainer:
                         rest = body._forward(betas_t, eye,
                                              jnp.zeros((batch, 3)))[1]
                         rest = rest - rest[:, :1]
-                        l_joint = jnp.mean(((rest + delta) - joints_t) ** 2)
+                        j_pred = rest + delta
+                        l_joint = jnp.mean((j_pred - joints_t) ** 2)
                     else:
                         pose6d, betas, cam = outs
-                        l_joint = 0.0
+                        # FK joint term: rotation-space MSE alone plateaus at
+                        # the predict-identity floor (measured: trained MPJPE
+                        # == zero-pose baseline); joint positions give the
+                        # gradient signal HMR-style training relies on
+                        j_pred = body.forward_joints(
+                            betas, rotation_6d_to_matrix(pose6d))
+                        j_pred = j_pred - j_pred[:, :1]
+                        l_joint = jnp.mean((j_pred - joints_t) ** 2)
+                    # 2D reprojection through the predicted camera
+                    p2 = (cam[:, 0, None, None] * j_pred[..., :2]
+                          + cam[:, None, 1:])
+                    p2_t = (cam_t[:, 0, None, None] * joints_t[..., :2]
+                            + cam_t[:, None, 1:])
+                    l_px = jnp.mean((p2 - p2_t) ** 2)
                     l_pose = jnp.mean((pose6d - pose_t) ** 2)
                     l_betas = jnp.mean((betas - betas_t) ** 2)
                     l_cam = jnp.mean((cam - cam_t) ** 2)
-                    return l_pose + 0.1 * l_betas + l_cam + 10.0 * l_joint
+                    return (l_pose + 0.1 * l_betas + l_cam
+                            + 10.0 * l_joint + 5.0 * l_px)
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = opt.update(grads, opt_state)

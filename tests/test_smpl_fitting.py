@@ -107,6 +107,41 @@ def test_keypoints_to_crop_norm_roundtrip():
     np.testing.assert_allclose(out[..., 2], kp[..., 2])
 
 
+def test_forward_joints_matches_full_forward(body):
+    """forward_joints (the FK-only fast path used by MeshTrainer's joint
+    loss) must agree with the joints _forward computes through LBS."""
+    rng = np.random.default_rng(3)
+    B = 3
+    aa = _random_pose_aa(rng, B, body.num_joints)
+    betas = rng.normal(0, 0.5, (B, 10)).astype(np.float32)
+    R = rodrigues(aa)
+    _, full = body._forward(jnp.asarray(betas), R,
+                            jnp.zeros((B, 3), jnp.float32))
+    fast = body.forward_joints(jnp.asarray(betas), R)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(full),
+                               atol=1e-5)
+
+
+def test_mesh_outputs_pelvis_centered():
+    """Regressor outputs live in the pelvis-centered frame the cam was
+    trained against (uncentered joints put a constant s*pelvis_xy offset on
+    every projected joint — measured as a 90px pj2d error)."""
+    from posepipeline_tpu.models.meshregressor import MeshRecoveryModel
+
+    m = MeshRecoveryModel("VIBE")
+    crops = np.random.default_rng(1).normal(
+        0, 1, (2, 224, 224, 3)).astype(np.float32)
+    out = m(crops)
+    np.testing.assert_allclose(np.asarray(out["joints3d"])[:, 0],
+                               0.0, atol=1e-5)
+    # joints2d is exactly the weak-perspective projection of those joints
+    from posepipeline_tpu.models.smpl_body import project_weak_perspective
+    np.testing.assert_allclose(
+        np.asarray(out["joints2d"]),
+        np.asarray(project_weak_perspective(out["joints3d"], out["cams"])),
+        atol=1e-5)
+
+
 def test_hybrik_model_path():
     from posepipeline_tpu.models.meshregressor import MeshRecoveryModel
 

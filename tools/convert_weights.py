@@ -162,6 +162,54 @@ def _conv2d_bn(state: Dict[str, np.ndarray], conv: str, bn: str) -> Dict:
     return {"kernel": kernel, "bias": bias}
 
 
+def t2f_conv3d(weight, bias=None):
+    """torch Conv3d (O, I, kt, kh, kw) → flax Conv (kt, kh, kw, I, O)."""
+    p = {"kernel": np.transpose(np.asarray(weight), (2, 3, 4, 1, 0))}
+    if bias is not None:
+        p["bias"] = np.asarray(bias)
+    return p
+
+
+def _convmodule3d(state: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """mmaction2/mmcv ConvModule (``.conv`` Conv3d + ``.bn`` BatchNorm3d) →
+    one biased flax Conv (BN folded)."""
+    p = t2f_conv3d(state[f"{prefix}.conv.weight"],
+                   state.get(f"{prefix}.conv.bias"))
+    kernel, bias = fold_batchnorm_into_conv(
+        p["kernel"], p.get("bias"),
+        state[f"{prefix}.bn.weight"], state[f"{prefix}.bn.bias"],
+        state[f"{prefix}.bn.running_mean"],
+        state[f"{prefix}.bn.running_var"])
+    return {"kernel": kernel, "bias": bias}
+
+
+def convert_posec3d(s: Dict[str, np.ndarray]) -> Dict:
+    """Map an mmaction2 PoseC3D (SlowOnly ResNet3d + I3DHead) state dict
+    onto models/posec3d.PoseC3DNet.
+
+    The reference action wrapper's checkpoint family (reference
+    wrappers/mmaction.py:9-86). Stage/block structure is discovered from
+    the key set (``backbone.layer{l}.{b}.conv{1..3}.conv.weight`` — every
+    mmcv ConvModule is ``.conv`` + ``.bn``), so any SlowOnly depth converts
+    with one code path; BatchNorms fold into conv biases."""
+    out: Dict = {"conv1": _convmodule3d(s, "backbone.conv1")}
+    layers = sorted({int(k.split(".")[1][len("layer"):])
+                     for k in s if k.startswith("backbone.layer")})
+    for l in layers:
+        blocks = sorted({int(k.split(".")[2]) for k in s
+                         if k.startswith(f"backbone.layer{l}.")})
+        for b in blocks:
+            bp = f"backbone.layer{l}.{b}"
+            blk = {c: _convmodule3d(s, f"{bp}.{c}")
+                   for c in ("conv1", "conv2", "conv3")}
+            if f"{bp}.downsample.conv.weight" in s:
+                blk["downsample"] = _convmodule3d(s, f"{bp}.downsample")
+            out[f"layer{l}_{b}"] = blk
+    head = t2f_linear(s["cls_head.fc_cls.weight"],
+                      s.get("cls_head.fc_cls.bias"))
+    return {"params": {"backbone": out, "fc_cls": head}}
+
+
 def convert_hrnet(torch_state: Dict[str, np.ndarray],
                   consumed: set | None = None) -> Dict:
     """Map an mmpose HRNet top-down state dict (``backbone.*`` HRNet +
@@ -198,6 +246,16 @@ def convert_hrnet(torch_state: Dict[str, np.ndarray],
 
         s = _Track()
 
+    out = _convert_hrnet_backbone(s)
+    head = t2f_conv2d(s["keypoint_head.final_layer.weight"],
+                      s.get("keypoint_head.final_layer.bias"))
+    return {"params": {"backbone": out, "final_layer": head}}
+
+
+def _convert_hrnet_backbone(s) -> Dict:
+    """The ``backbone.*`` HRNet portion of an mmpose state dict →
+    models/hrnet.HRNet param tree (shared by the top-down and the
+    HigherHRNet bottom-up converters)."""
     def cbn(conv, bn):
         return _conv2d_bn(s, f"backbone.{conv}", f"backbone.{bn}")
 
@@ -264,9 +322,52 @@ def convert_hrnet(torch_state: Dict[str, np.ndarray],
                             mod[f"fuse_{i}_{j}_{k}"] = cbn(f"{fp}.{k}.0",
                                                            f"{fp}.{k}.1")
             out[f"stage{si}_{m}"] = mod
-    head = t2f_conv2d(s["keypoint_head.final_layer.weight"],
-                      s.get("keypoint_head.final_layer.bias"))
-    return {"params": {"backbone": out, "final_layer": head}}
+    return out
+
+
+def convert_higherhrnet(s: Dict[str, np.ndarray]) -> Dict:
+    """Map an mmpose HigherHRNet AE bottom-up state dict onto
+    models/higherhrnet.HigherHRNetAE.
+
+    The reference bottom-up wrapper's checkpoint family (reference
+    wrappers/mmpose.py:84-121, ``higher_hrnet32_coco_512x512``). Head layout
+    (mmpose ``AEHigherResolutionHead``):
+
+    - ``keypoint_head.final_layers.{0,1}``: biased 1×1 convs;
+    - ``keypoint_head.deconv_layers.0.0``: Sequential(ConvTranspose2d(k=4,
+      s=2, p=1), BN, ReLU) — BN folds into the deconv (output channels sit
+      on axis 2 of the flax (kh, kw, O, I) transpose-kernel layout);
+    - ``keypoint_head.deconv_layers.0.{1..4}``: Sequential-wrapped
+      BasicBlocks (``.{n}.0.conv1`` …).
+    """
+    out: Dict = {"backbone": _convert_hrnet_backbone(s)}
+    for i in (0, 1):
+        out[f"final_layer{i}"] = t2f_conv2d(
+            s[f"keypoint_head.final_layers.{i}.weight"],
+            s.get(f"keypoint_head.final_layers.{i}.bias"))
+    # deconv: torch ConvTranspose2d weight (I, O, kh, kw) → flax
+    # transpose_kernel layout (kh, kw, O, I); BN scale broadcasts on axis 2
+    dk = np.transpose(
+        np.asarray(s["keypoint_head.deconv_layers.0.0.0.weight"]),
+        (2, 3, 1, 0))
+    bn = "keypoint_head.deconv_layers.0.0.1"
+    scale = np.asarray(s[f"{bn}.weight"]) / np.sqrt(
+        np.asarray(s[f"{bn}.running_var"]) + 1e-5)
+    out["deconv0"] = {
+        "kernel": dk * scale[None, None, :, None],
+        "bias": (-np.asarray(s[f"{bn}.running_mean"])) * scale
+        + np.asarray(s[f"{bn}.bias"]),
+    }
+    blocks = sorted({int(k.split(".")[3]) for k in s
+                     if k.startswith("keypoint_head.deconv_layers.0.")
+                     and int(k.split(".")[3]) > 0})
+    for n in blocks:
+        bp = f"keypoint_head.deconv_layers.0.{n}.0"
+        out[f"deconv0_block{n - 1}"] = {
+            "conv1": _conv2d_bn(s, f"{bp}.conv1", f"{bp}.bn1"),
+            "conv2": _conv2d_bn(s, f"{bp}.conv2", f"{bp}.bn2"),
+        }
+    return {"params": out}
 
 
 def convert_resnet(s: Dict[str, np.ndarray], prefix: str = "backbone.") -> Dict:
@@ -451,7 +552,8 @@ def main():
     ap.add_argument("--src", required=True, help="torch checkpoint (.pth)")
     ap.add_argument("--arch", required=True,
                     choices=["vitpose", "videopose3d", "hrnet", "centernet",
-                             "spin", "simplebaseline"])
+                             "spin", "simplebaseline", "posec3d",
+                             "higherhrnet"])
     ap.add_argument("--out", required=True, help="output .npz")
     args = ap.parse_args()
 
@@ -472,6 +574,10 @@ def main():
         params = convert_spin(state)
     elif args.arch == "simplebaseline":
         params = convert_simplebaseline(state)
+    elif args.arch == "posec3d":
+        params = convert_posec3d(state)
+    elif args.arch == "higherhrnet":
+        params = convert_higherhrnet(state)
     elif any(k.startswith("backbone.") for k in state):
         params = convert_vitpose(state)
     else:
