@@ -38,6 +38,10 @@ class ActionConfig:
     window: int = 48
     stride: int = 24
     sigma: float = 2.0
+    # "factorized" = the TPU-native (2+1)D net; "slowonly" = the
+    # checkpoint-parity SlowOnly ResNet3d (models/posec3d.py) so converted
+    # mmaction2 PoseC3D checkpoints are a file drop
+    backbone: str = "factorized"
 
 
 def keypoints_to_heatmap_volume(keypoints, bbox, out_hw=(56, 56), sigma=2.0):
@@ -90,7 +94,13 @@ class ActionModel:
     def __init__(self, cfg: ActionConfig = ActionConfig(), params=None, seed: int = 0,
                  params_path=None):
         self.cfg = cfg
-        self.net = Factorized3DConvNet(cfg)
+        if cfg.backbone == "slowonly":
+            from .posec3d import PoseC3DConfig, PoseC3DNet
+
+            self.net = PoseC3DNet(PoseC3DConfig(
+                num_classes=cfg.num_classes, in_channels=cfg.num_joints))
+        else:
+            self.net = Factorized3DConvNet(cfg)
         self.weights_loaded = False
         if params is None:
             dummy = jnp.zeros((1, cfg.window, *cfg.heatmap_hw, cfg.num_joints), jnp.float32)

@@ -79,13 +79,36 @@ def _nms_peaks(hm, k):
     return conf, ys, xs, idx
 
 
+def _higherhrnet_head(cfg: BottomUpConfig):
+    """models/higherhrnet.HigherHRNetAE adapted to the single
+    ``(B, h, w, 2J)`` heatmap‖tag contract the AE decoder consumes:
+    stride-2 heatmaps are the mean of the upsampled stride-4 map and the
+    deconv branch's map, tags come from the stride-4 scale upsampled —
+    exactly mmpose's HigherHRNet test-time aggregation (reference
+    wrappers/mmpose.py:84-121). Subclassing keeps the param tree identical
+    to HigherHRNetAE, so a converted mmpose checkpoint
+    (tools/convert_weights.py --arch higherhrnet) loads unchanged."""
+    from .higherhrnet import HigherHRNetAE
+
+    class HigherHRNetAEHead(HigherHRNetAE):
+        @nn.compact
+        def __call__(self, x):
+            out0, out1 = super().__call__(x)
+            J = self.num_joints
+            hm0 = jax.image.resize(out0[..., :J], out1.shape, "bilinear")
+            tags = jax.image.resize(out0[..., J:], out1.shape, "bilinear")
+            return jnp.concatenate([0.5 * (hm0 + out1), tags], axis=-1)
+
+    return HigherHRNetAEHead(num_joints=cfg.num_joints)
+
+
 class AEBottomUpModel:
     """Bundled config + params + jitted full-frame multi-person inference."""
 
     def __init__(self, cfg: BottomUpConfig = BottomUpConfig(), params=None,
-                 seed: int = 0):
+                 seed: int = 0, net=None):
         self.cfg = cfg
-        self.net = AEBottomUpNet(cfg)
+        self.net = AEBottomUpNet(cfg) if net is None else net
         if params is None:
             from .init_util import init_on_cpu
 
@@ -168,7 +191,12 @@ def get_bottomup_model(name: str = "AEBottomUp") -> AEBottomUpModel:
             kw["input_hw"] = tuple(kw["input_hw"])
         if "widths" in kw:
             kw["widths"] = tuple(kw["widths"])
-        model = AEBottomUpModel(BottomUpConfig(name=name, **kw))
+        cfg = BottomUpConfig(name=name, **kw)
+        # HigherHRNet: the checkpoint-parity backbone served through the
+        # same compiled decoder (converted mmpose AE checkpoints are a file
+        # drop: tools/convert_weights.py --arch higherhrnet)
+        net = _higherhrnet_head(cfg) if name == "HigherHRNet" else None
+        model = AEBottomUpModel(cfg, net=net)
         path = registry_weights_path("bottomup", name)
         if path:
             model.params = merge_params(model.params, load_params(path))

@@ -34,14 +34,20 @@ class SkeletonAction(Computed):
     """
 
     def make(self, key):
-        from ..models.action import ActionModel
+        from ..models.action import ActionConfig, ActionModel
 
         key = dict(key)
         keypoints = np.asarray((TopDownPerson & key).fetch1("keypoints"))
         bbox = np.asarray((PersonBbox & key).fetch1("bbox"))
-        model = ActionModel()
+        # PPT_ACTION_BACKBONE=slowonly serves the checkpoint-parity SlowOnly
+        # ResNet3d (models/posec3d.py) instead of the (2+1)D default
+        if os.environ.get("PPT_ACTION_BACKBONE") == "slowonly":
+            model = ActionModel(ActionConfig(name="PoseC3D_SlowOnly",
+                                             backbone="slowonly"))
+        else:
+            model = ActionModel()
         res = model(keypoints[:, :17], bbox)
-        key["method"] = "PoseC3D"
+        key["method"] = model.cfg.name
         key["top5"] = res["top5"]
         key["action_scores"] = res["action_scores"]
         key["label_map"] = res["label_map"]

@@ -296,7 +296,10 @@ def bottom_up_ae_keypoints(video_path: str, batch_size: int = 8,
     ``score_threshold``)."""
     from ..models.bottomup_ae import get_bottomup_model
 
-    model = get_bottomup_model()
+    # PPT_BOTTOMUP_BACKBONE=HigherHRNet serves the checkpoint-parity mmpose
+    # AE architecture (models/higherhrnet.py) through the same decoder
+    model = get_bottomup_model(
+        os.environ.get("PPT_BOTTOMUP_BACKBONE", "AEBottomUp"))
     out: List[np.ndarray] = []
     for frames, valid in frame_batches(video_path, batch_size):
         people, scores = model(frames)

@@ -739,10 +739,13 @@ class ROMPTrainer:
 
     def fit_device(self, steps: int = 600, batch: int = 8, seed: int = 0,
                    scan_len: int = 25, log_every: int = 0):
+        from .models.smpl_body import rotation_6d_to_matrix
         from .ops.warp import normalize_imagenet
 
         model = self.model
         cfg = model.cfg
+        body = model.body
+        npose = cfg.num_joints * 6
         th, tw = cfg.input_hw
         gh, gw = th // cfg.stride, tw // cfg.stride
         warmup = min(max(steps // 20, 10), max(steps // 2, 1))
@@ -770,7 +773,21 @@ class ROMPTrainer:
                         pmap.reshape(batch, gh * gw, P),
                         cells[..., None], axis=1)       # (B, 2, P)
                     l_param = jnp.mean((pred - targets) ** 2)
-                    return l_center + 5.0 * l_param
+                    # FK joint term (same rationale as MeshTrainer): param
+                    # MSE alone leaves the pose head near the identity floor
+                    flat_p = pred.reshape(batch * 2, P)
+                    flat_t = targets.reshape(batch * 2, P)
+                    R_pred = rotation_6d_to_matrix(
+                        flat_p[:, :npose].reshape(-1, cfg.num_joints, 6))
+                    R_t = rotation_6d_to_matrix(
+                        flat_t[:, :npose].reshape(-1, cfg.num_joints, 6))
+                    b_pred = flat_p[:, npose:npose + cfg.n_betas]
+                    b_t = flat_t[:, npose:npose + cfg.n_betas]
+                    j_pred = body.forward_joints(b_pred, R_pred)
+                    j_t = body.forward_joints(b_t, R_t)
+                    l_fk = jnp.mean(((j_pred - j_pred[:, :1])
+                                     - (j_t - j_t[:, :1])) ** 2)
+                    return l_center + 5.0 * l_param + 10.0 * l_fk
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = opt.update(grads, opt_state)

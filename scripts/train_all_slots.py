@@ -166,6 +166,31 @@ def main():
         save("action__PoseC3D", am.params)
         print(f"action: loss {losses[0]:.4f}->{losses[-1]:.4f}")
 
+    # ---- SlowOnly action backbone (checkpoint-parity serving variant) ---
+    if want("posec3d"):
+        from posepipeline_tpu.models.action import ActionConfig, ActionModel
+        from posepipeline_tpu.train import ActionTrainer
+
+        am = ActionModel(ActionConfig(name="PoseC3D_SlowOnly",
+                                      backbone="slowonly"))
+        tr = ActionTrainer(am)
+        losses = tr.fit_synthetic(steps=max(steps // 10, 10), batch=8,
+                                  log_every=10)
+        save("action__PoseC3D_SlowOnly", am.params)
+        print(f"posec3d slowonly: loss {losses[0]:.4f}->{losses[-1]:.4f}")
+
+    # ---- HigherHRNet AE backbone (checkpoint-parity serving variant) ----
+    if want("higherhrnet"):
+        from posepipeline_tpu.models.bottomup_ae import get_bottomup_model
+        from posepipeline_tpu.train import AETrainer
+
+        model = get_bottomup_model("HigherHRNet")
+        tr = AETrainer(model)
+        losses = tr.fit_synthetic(steps=max(steps // 4, 20), batch=4,
+                                  log_every=10)
+        save("bottomup__HigherHRNet", model.params)
+        print(f"higherhrnet ae: loss {losses[0]:.4f}->{losses[-1]:.4f}")
+
     # ---- bridging (MeTRAbs absolute-3D head) ---------------------------
     if want("bridging"):
         from posepipeline_tpu.models.bridging import get_bridging_model

@@ -83,3 +83,39 @@ def test_mmpose_bottomup_slot_runs_ae(pipeline_env):
     for frame_kp in kp:
         arr = np.asarray(frame_kp)
         assert arr.ndim == 3 and arr.shape[1:] == (17, 3)
+
+
+def test_higherhrnet_serving_variant():
+    """The checkpoint-parity HigherHRNet backbone serves through the same
+    compiled AE decoder (registry name "HigherHRNet"); its param tree is
+    byte-identical to models/higherhrnet.HigherHRNetAE so a converted
+    mmpose checkpoint (--arch higherhrnet) is a file drop."""
+    import jax
+    import jax.numpy as jnp
+
+    from posepipeline_tpu.core.config import config
+    from posepipeline_tpu.models.bottomup_ae import get_bottomup_model
+    from posepipeline_tpu.models.higherhrnet import HigherHRNetAE
+
+    old = config.get("custom", {}).get("bottomup_model")
+    config.setdefault("custom", {})["bottomup_model"] = {
+        "input_hw": (128, 128)}
+    try:
+        model = get_bottomup_model("HigherHRNet")
+        frames = np.random.default_rng(0).integers(
+            0, 255, (1, 128, 128, 3)).astype(np.float32)
+        people, scores = model(jnp.asarray(frames))
+        assert np.asarray(people).shape[2:] == (17, 3)
+        assert np.isfinite(np.asarray(people)).all()
+        # param-tree parity with the conversion target
+        ref = HigherHRNetAE(num_joints=17).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        flat_m = {p for p, _ in jax.tree_util.tree_leaves_with_path(
+            model.params)}
+        flat_r = {p for p, _ in jax.tree_util.tree_leaves_with_path(ref)}
+        assert flat_m == flat_r
+    finally:
+        if old is None:
+            config["custom"].pop("bottomup_model", None)
+        else:
+            config["custom"]["bottomup_model"] = old

@@ -230,3 +230,20 @@ def test_smplx_family_for_expose_pixie():
     assert np.asarray(out["joints3d"]).shape == (2, 55, 3)
     assert np.isfinite(np.asarray(out["joints3d"])).all()
     assert model.body.num_joints == 55
+
+
+def test_action_slowonly_backbone():
+    """The checkpoint-parity SlowOnly ResNet3d serves the action slot
+    (ActionConfig(backbone="slowonly") → models/posec3d.PoseC3DNet), same
+    window contract as the (2+1)D default."""
+    from posepipeline_tpu.models.action import ActionConfig, ActionModel
+
+    am = ActionModel(ActionConfig(name="PoseC3D_SlowOnly",
+                                  backbone="slowonly", num_classes=3,
+                                  window=16, stride=8))
+    rng = np.random.default_rng(5)
+    kp = rng.normal(100, 20, (20, 17, 3)).astype(np.float32)
+    bb = np.tile(np.array([50, 50, 100, 200], np.float32), (20, 1))
+    res = am(kp, bb)
+    assert np.asarray(res["action_scores"]).shape == (1, 3)
+    assert res["top5"][0] in res["label_map"]
