@@ -31,17 +31,58 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
 
 
-def _conv(features, kernel, strides=1, name=None, dtype=jnp.bfloat16):
-    """Biased conv (the bias carries the folded BatchNorm)."""
-    return nn.Conv(features, (kernel, kernel), (strides, strides),
+class BatchStatNorm(nn.Module):
+    """Stat-free trainable BatchNorm for the parity architecture.
+
+    The serving layout is *stat-free* (BN folded into conv biases), which
+    makes the net untrainable from scratch — a 100+-conv CNN with no
+    normalization diverges (observed round 4: HRNet-W48 trained to PCK 0.000
+    with the plain layout). This layer restores BN semantics at train time
+    using only the current batch's statistics — a pure function, no mutable
+    running averages — and `fold_train_norm()` later folds calibration-batch
+    statistics plus gamma/beta into the preceding conv's kernel/bias,
+    recovering the exact checkpoint-parity param layout that
+    tools/convert_weights.py produces from real torch state dicts."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, y):
+        c = y.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
+        y32 = y.astype(jnp.float32)
+        axes = tuple(range(y.ndim - 1))
+        mean = jnp.mean(y32, axes)
+        var = jnp.var(y32, axes)
+        # sown only when the caller passes mutable=["norm_stats"]
+        # (fold-time calibration); a plain apply skips it.
+        self.sow("norm_stats", "stats", (mean, var),
+                 reduce_fn=lambda a, b: b, init_fn=lambda: None)
+        out = (y32 - mean) * jax.lax.rsqrt(var + self.eps) * gamma + beta
+        return out.astype(y.dtype)
+
+
+def _conv(features, kernel, strides=1, name=None, dtype=jnp.bfloat16,
+          train_norm=False):
+    """Biased conv (the bias carries the folded BatchNorm).
+
+    With ``train_norm`` a BatchStatNorm named ``<name>_bn`` follows the conv
+    (the torch conv+BN position); fold_train_norm() removes it again."""
+    conv = nn.Conv(features, (kernel, kernel), (strides, strides),
                    padding=[(kernel // 2, kernel // 2)] * 2,
                    use_bias=True, name=name, dtype=dtype)
+    if not train_norm:
+        return conv
+    bsn = BatchStatNorm(name=f"{name}_bn")
+    return lambda x: bsn(conv(x))
 
 
 class Bottleneck(nn.Module):
@@ -50,16 +91,21 @@ class Bottleneck(nn.Module):
     planes: int
     downsample: bool = False
     dtype: Dtype = jnp.bfloat16
+    train_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
+        tn = self.train_norm
         residual = x
-        y = nn.relu(_conv(self.planes, 1, name="conv1", dtype=self.dtype)(x))
-        y = nn.relu(_conv(self.planes, 3, name="conv2", dtype=self.dtype)(y))
-        y = _conv(self.planes * 4, 1, name="conv3", dtype=self.dtype)(y)
+        y = nn.relu(_conv(self.planes, 1, name="conv1", dtype=self.dtype,
+                          train_norm=tn)(x))
+        y = nn.relu(_conv(self.planes, 3, name="conv2", dtype=self.dtype,
+                          train_norm=tn)(y))
+        y = _conv(self.planes * 4, 1, name="conv3", dtype=self.dtype,
+                  train_norm=tn)(y)
         if self.downsample:
             residual = _conv(self.planes * 4, 1, name="downsample",
-                             dtype=self.dtype)(x)
+                             dtype=self.dtype, train_norm=tn)(x)
         return nn.relu(y + residual)
 
 
@@ -68,11 +114,15 @@ class BasicBlock(nn.Module):
 
     planes: int
     dtype: Dtype = jnp.bfloat16
+    train_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
-        y = nn.relu(_conv(self.planes, 3, name="conv1", dtype=self.dtype)(x))
-        y = _conv(self.planes, 3, name="conv2", dtype=self.dtype)(y)
+        tn = self.train_norm
+        y = nn.relu(_conv(self.planes, 3, name="conv1", dtype=self.dtype,
+                          train_norm=tn)(x))
+        y = _conv(self.planes, 3, name="conv2", dtype=self.dtype,
+                  train_norm=tn)(y)
         return nn.relu(y + x)
 
 
@@ -89,16 +139,18 @@ class HRModule(nn.Module):
     num_blocks: int = 4
     num_out: int = -1
     dtype: Dtype = jnp.bfloat16
+    train_norm: bool = False
 
     @nn.compact
     def __call__(self, xs):
+        tn = self.train_norm
         nb = len(self.widths)
         n_out = nb if self.num_out < 0 else self.num_out
         ys = []
         for b, (x, w) in enumerate(zip(xs, self.widths)):
             for n in range(self.num_blocks):
                 x = BasicBlock(w, name=f"branch{b}_block{n}",
-                               dtype=self.dtype)(x)
+                               dtype=self.dtype, train_norm=tn)(x)
             ys.append(x)
         outs = []
         for i in range(n_out):
@@ -108,7 +160,7 @@ class HRModule(nn.Module):
                     f = ys[j]
                 elif j > i:
                     f = _conv(self.widths[i], 1, name=f"fuse_{i}_{j}_0",
-                              dtype=self.dtype)(ys[j])
+                              dtype=self.dtype, train_norm=tn)(ys[j])
                     r = 2 ** (j - i)
                     f = jnp.repeat(jnp.repeat(f, r, axis=1), r, axis=2)
                 else:
@@ -117,7 +169,7 @@ class HRModule(nn.Module):
                         last = k == i - j - 1
                         f = _conv(self.widths[i] if last else self.widths[j],
                                   3, strides=2, name=f"fuse_{i}_{j}_{k}",
-                                  dtype=self.dtype)(f)
+                                  dtype=self.dtype, train_norm=tn)(f)
                         if not last:
                             f = nn.relu(f)
                 acc = f if acc is None else acc + f
@@ -131,34 +183,38 @@ class HRNet(nn.Module):
     width: int = 48
     stage_modules: Tuple[int, int, int] = (1, 4, 3)  # stages 2, 3, 4
     dtype: Dtype = jnp.bfloat16
+    train_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
+        tn = self.train_norm
         w = self.width
         widths4 = (w, 2 * w, 4 * w, 8 * w)
-        x = nn.relu(_conv(64, 3, strides=2, name="conv1", dtype=self.dtype)(
-            x.astype(self.dtype)))
-        x = nn.relu(_conv(64, 3, strides=2, name="conv2", dtype=self.dtype)(x))
+        x = nn.relu(_conv(64, 3, strides=2, name="conv1", dtype=self.dtype,
+                          train_norm=tn)(x.astype(self.dtype)))
+        x = nn.relu(_conv(64, 3, strides=2, name="conv2", dtype=self.dtype,
+                          train_norm=tn)(x))
         for n in range(4):
             x = Bottleneck(64, downsample=(n == 0), name=f"layer1_{n}",
-                           dtype=self.dtype)(x)
+                           dtype=self.dtype, train_norm=tn)(x)
         # transitions add one stride-2 branch per stage and re-channel the rest
         xs = [
             nn.relu(_conv(widths4[0], 3, name="transition1_0",
-                          dtype=self.dtype)(x)),
+                          dtype=self.dtype, train_norm=tn)(x)),
             nn.relu(_conv(widths4[1], 3, strides=2, name="transition1_1",
-                          dtype=self.dtype)(x)),
+                          dtype=self.dtype, train_norm=tn)(x)),
         ]
         for s, n_modules in zip((2, 3, 4), self.stage_modules):
             if s > 2:
                 xs.append(nn.relu(_conv(
                     widths4[s - 1], 3, strides=2,
                     name=f"transition{s - 1}_{s - 1}",
-                    dtype=self.dtype)(xs[-1])))
+                    dtype=self.dtype, train_norm=tn)(xs[-1])))
             for m in range(n_modules):
                 last_overall = s == 4 and m == n_modules - 1
                 xs = HRModule(widths4[:s], num_out=1 if last_overall else -1,
-                              name=f"stage{s}_{m}", dtype=self.dtype)(xs)
+                              name=f"stage{s}_{m}", dtype=self.dtype,
+                              train_norm=tn)(xs)
         return xs[0]
 
 
@@ -170,11 +226,80 @@ class HRNetHeatmap(nn.Module):
     width: int = 48
     stage_modules: Tuple[int, int, int] = (1, 4, 3)
     dtype: Dtype = jnp.bfloat16
+    train_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
         f = HRNet(width=self.width, stage_modules=self.stage_modules,
-                  name="backbone", dtype=self.dtype)(x)
+                  name="backbone", dtype=self.dtype,
+                  train_norm=self.train_norm)(x)
         return nn.Conv(self.num_joints, (1, 1), use_bias=True,
                        name="final_layer", dtype=jnp.float32)(
                            f.astype(jnp.float32))
+
+
+def fold_train_norm(net, params, calib_fn, num_batches: int = 8):
+    """Fold a train_norm net's BatchStatNorm layers into conv biases.
+
+    ``calib_fn(i) -> crops_normalized`` supplies calibration batches drawn
+    from the training distribution. Per-layer batch statistics are pooled
+    across batches (exact pooled mean/variance, not an EMA), then each
+    ``<name>_bn``'s (gamma, beta, mean, var) is folded into the sibling conv
+    ``<name>``'s kernel/bias — the same algebra tools/convert_weights.py
+    applies to torch conv+BN pairs — yielding the stat-free parity layout
+    loadable by a plain (train_norm=False) net."""
+    from collections.abc import Mapping
+
+    import numpy as np
+
+    sums = {}
+
+    def _walk_stats(tree, path):
+        for k, v in tree.items():
+            if k == "stats":  # leaf sown by BatchStatNorm
+                mean, var = v[0] if isinstance(v, tuple) and len(v) == 1 \
+                    and isinstance(v[0], tuple) else v
+                m = np.asarray(mean, np.float64)
+                s2 = np.asarray(var, np.float64) + m ** 2  # E[y^2]
+                acc = sums.setdefault(path, [0.0, 0.0, 0])
+                acc[0] += m
+                acc[1] += s2
+                acc[2] += 1
+            elif isinstance(v, Mapping):
+                _walk_stats(v, path + (k,))
+
+    for i in range(num_batches):
+        _, mut = net.apply(params, calib_fn(i), mutable=["norm_stats"])
+        _walk_stats(dict(mut["norm_stats"]), ())
+
+    stats = {p: (a[0] / a[2], a[1] / a[2] - (a[0] / a[2]) ** 2)
+             for p, a in sums.items()}
+
+    def _fold(tree, path):
+        out = {}
+        bn_names = {k for k in tree if k.endswith("_bn")}
+        for k, v in tree.items():
+            if k in bn_names:
+                continue
+            if isinstance(v, Mapping) and f"{k}_bn" in bn_names:
+                mean, var = stats[path + (f"{k}_bn",)]
+                bn = tree[f"{k}_bn"]
+                gamma = np.asarray(bn["gamma"], np.float64)
+                beta = np.asarray(bn["beta"], np.float64)
+                scale = gamma / np.sqrt(var + BatchStatNorm.eps)
+                kern = np.asarray(v["kernel"], np.float64)
+                bias = np.asarray(v["bias"], np.float64)
+                out[k] = {
+                    "kernel": jnp.asarray(kern * scale, jnp.float32),
+                    "bias": jnp.asarray((bias - mean) * scale + beta,
+                                        jnp.float32),
+                }
+            elif isinstance(v, Mapping):
+                out[k] = _fold(v, path + (k,))
+            else:
+                out[k] = v
+        return out
+
+    p = dict(params["params"]) if "params" in params else dict(params)
+    folded = _fold(p, ())
+    return {"params": folded} if "params" in params else folded

@@ -78,16 +78,43 @@ def main():
     # weights until a converted mmpose checkpoint replaces the npz
     # (reference wrappers/mmpose.py:26-44)
     if want("hrnet"):
-        from posepipeline_tpu.models.topdown import TOPDOWN_CONFIGS, TopDownModel
+        import jax
+
+        from posepipeline_tpu import synthjax
+        from posepipeline_tpu.core.config import config
+        from posepipeline_tpu.models.hrnet import fold_train_norm
+        from posepipeline_tpu.models.topdown import (TOPDOWN_CONFIGS,
+                                                     TopDownModel,
+                                                     normalize_imagenet)
         from posepipeline_tpu.train import TopDownTrainer
 
         t0 = time.time()
-        model = TopDownModel(TOPDOWN_CONFIGS["HRNetW48"])
+        # the stat-free parity layout is untrainable from scratch (no norm
+        # layers — round-4 evidence: PCK 0.000); train with BatchStatNorm
+        # then fold the calibration statistics back into conv biases so the
+        # shipped npz keeps the exact converted-checkpoint layout
+        hk = dict(config.get("custom", {}).get("hrnet_model", {}))
+        hk["train_norm"] = True
+        config.setdefault("custom", {})["hrnet_model"] = hk
+        cfg = TOPDOWN_CONFIGS["HRNetW48"]
+        model = TopDownModel(cfg)
         tr = TopDownTrainer(model)
         losses = tr.fit_device(steps=steps, batch=8, log_every=1)
-        save("topdown__HRNetW48", model.params)
+
+        def calib(i):
+            crops, _ = synthjax.topdown_joints_batch(
+                jax.random.PRNGKey(10_000 + i), 16,
+                num_joints=cfg.num_joints, crop_hw=cfg.input_hw,
+                box_jitter=0.10)
+            return normalize_imagenet(crops)
+
+        folded = fold_train_norm(model.net, model.params, calib,
+                                 num_batches=8)
+        hk.pop("train_norm")
+        config["custom"]["hrnet_model"] = hk
+        save("topdown__HRNetW48", folded)
         print(f"HRNetW48: {len(losses)} steps, loss {losses[0]:.4f}->"
-              f"{losses[-1]:.4f}, {time.time()-t0:.0f}s")
+              f"{losses[-1]:.4f}, {time.time()-t0:.0f}s (norm-folded)")
 
     # ---- hand net (shared across hand-method slots) --------------------
     if want("hands"):
