@@ -167,15 +167,13 @@ def main():
     from posepipeline_tpu.runtime import metrics
     metrics.report(reset=True)
 
-    # best-of-N: host decode scheduling on shared machines is noisy; later
-    # passes also reuse already-faulted buffers (hostmem.py).
+    # median-of-N headline: host decode scheduling on shared machines is
+    # noisy; the median is robust to one bad repeat in either direction
+    # while best/min are carried as extra keys (VERDICT r4 weak #1).
     # BENCH_PROFILE=<dir>: wrap the LAST repeat in a jax profiler trace
     # (XProf/perfetto) for device-level op inspection.
     profile_dir = os.environ.get("BENCH_PROFILE")
-    # 4 timed repeats (each ~3 s): the recorded best-of must not be hostage
-    # to one noisy repeat on a shared host (VERDICT r3: 218/279 spread)
     n_reps = int(os.environ.get("BENCH_REPEATS", "4"))
-    fps = 0.0
     fps_list = []
     for rep in range(n_reps):
         _phase(f"timed repeat {rep}")
@@ -189,7 +187,7 @@ def main():
         frames = sum(len(r["keypoints2d"]) for r in results)
         _phase(f"repeat {rep}: {frames / elapsed:.1f} fps")
         fps_list.append(round(frames / elapsed, 2))
-        fps = max(fps, frames / elapsed)
+    fps = float(np.median(fps_list))
     if profile_dir:
         _phase(f"profiler trace written under {profile_dir}")
     baseline = 300.0  # 10x realtime @ 30fps, BASELINE.json north star
@@ -202,10 +200,12 @@ def main():
     # "host page-fault degradation")
     entry = {
         "metric": "e2e_decode_detect_2d_3d_fps_1080p",
-        "value": round(fps, 2),
+        "value": round(fps, 2),  # median repeat (VERDICT r4 weak #1)
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline, 4),
         "repeats": fps_list,
+        "best": max(fps_list),
+        "min": min(fps_list),
     }
     if decode_sol is not None:
         entry["host_decode_sol_fps"] = round(decode_sol, 1)
@@ -221,8 +221,11 @@ def main():
 
         # the clinic schedule: K streams interleaved through the same
         # compiled programs, so end-of-video lift/fetch work hides behind
-        # other streams' decode (runtime/stream.py interleave mode)
-        interleave = int(os.environ.get("BENCH_INTERLEAVE", "4"))
+        # other streams' decode (runtime/stream.py interleave mode).
+        # Default 8: measured 297 fps @ 4 vs 333 fps @ 8 on the 100-stream
+        # run — deeper interleave hides more per-video tail work (lift
+        # dispatch, final fetch, reader open) behind other streams' decode.
+        interleave = int(os.environ.get("BENCH_INTERLEAVE", "8"))
         scale_runner = NativeStreamingRunner(
             estimator=est, lifter=lifter, chunk_frames=chunk,
             num_buffers=buffers, fast_decode=fast_decode,

@@ -31,7 +31,8 @@ _PIPELINE_EXPORTS = {
     "HandPoseEstimationMethod", "HandPoseEstimationMethodLookup",
     "LiftingMethodLookup", "LiftingMethod", "LiftingPerson",
     "LiftingPersonVideo", "SMPLMethodLookup", "SMPLMethod", "SMPLPerson",
-    "SMPLPersonVideo", "SkeletonAction", "SkeletonActionVideo", "HumorPerson",
+    "SMPLPersonVideo", "SkeletonAction", "SkeletonActionMethodLookup",
+    "SkeletonActionVideo", "HumorPerson",
     "HumorPersonVideo", "GroundTruthKeypoints",
 }
 

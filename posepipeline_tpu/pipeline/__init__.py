@@ -45,7 +45,8 @@ from .pose3d import (
     LiftingPerson,
     LiftingPersonVideo,
 )
-from .action import SkeletonAction, SkeletonActionVideo
+from .action import (SkeletonAction, SkeletonActionMethodLookup,
+                     SkeletonActionVideo)
 from .smpl import (
     CenterHMR,
     CenterHMRPerson,
@@ -78,7 +79,8 @@ __all__ = [
     "LiftingMethod", "LiftingMethodLookup", "LiftingPerson", "LiftingPersonVideo",
     "OpenPose", "OpenPosePerson", "OpenPosePersonVideo", "OpenPoseVideo",
     "PersonBbox", "PersonBboxValid", "SMPLMethod", "SMPLMethodLookup",
-    "SMPLPerson", "SMPLPersonVideo", "SkeletonAction", "SkeletonActionVideo",
+    "SMPLPerson", "SMPLPersonVideo", "SkeletonAction",
+    "SkeletonActionMethodLookup", "SkeletonActionVideo",
     "TopDownMethod", "TopDownMethodLookup", "TopDownPerson", "TopDownPersonVideo",
     "TrackingBbox", "TrackingBboxMethod", "TrackingBboxMethodLookup",
     "TrackingBboxVideo", "Video", "VideoInfo",

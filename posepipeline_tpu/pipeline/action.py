@@ -12,7 +12,7 @@ import os
 
 import numpy as np
 
-from ..core.engine import Computed
+from ..core.engine import Computed, Lookup
 from ._schema import schema
 from .bottomup import BlurredVideo
 from .person2d import TopDownPerson
@@ -20,10 +20,27 @@ from .tracking import PersonBbox
 
 
 @schema
+class SkeletonActionMethodLookup(Lookup):
+    """Action-backbone registry: method selection is data in a Lookup row
+    (the framework's core idea, reference pipeline.py:133-147), not an
+    env-var switch. ``PoseC3D`` is the TPU-first (2+1)D default;
+    ``PoseC3D_SlowOnly`` is the checkpoint-parity mmaction2 SlowOnly
+    ResNet3d (models/posec3d.py, reference wrappers/mmaction.py:9-86)."""
+
+    definition = """
+    method : varchar(50)
+    """
+    contents = [
+        {"method": "PoseC3D"},
+        {"method": "PoseC3D_SlowOnly"},
+    ]
+
+
+@schema
 class SkeletonAction(Computed):
     definition = """
     -> TopDownPerson
-    method            : varchar(50)
+    -> SkeletonActionMethodLookup
     ---
     top5              : longblob
     action_scores     : longblob
@@ -39,25 +56,18 @@ class SkeletonAction(Computed):
         key = dict(key)
         keypoints = np.asarray((TopDownPerson & key).fetch1("keypoints"))
         bbox = np.asarray((PersonBbox & key).fetch1("bbox"))
-        # PPT_ACTION_BACKBONE=slowonly serves the checkpoint-parity SlowOnly
-        # ResNet3d (models/posec3d.py) instead of the (2+1)D default
-        if os.environ.get("PPT_ACTION_BACKBONE") == "slowonly":
+        if key["method"] == "PoseC3D_SlowOnly":
             model = ActionModel(ActionConfig(name="PoseC3D_SlowOnly",
                                              backbone="slowonly"))
         else:
             model = ActionModel()
         res = model(keypoints[:, :17], bbox)
-        key["method"] = model.cfg.name
         key["top5"] = res["top5"]
         key["action_scores"] = res["action_scores"]
         key["label_map"] = res["label_map"]
         key["action_window_len"] = res["action_window_len"]
         key["stride"] = res["stride"]
         self.insert1(key)
-
-    @property
-    def key_source(self):
-        return TopDownPerson._expr()
 
 
 @schema

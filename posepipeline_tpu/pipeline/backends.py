@@ -287,19 +287,24 @@ def openpose_composite(video_path: str, batch_size: int = 8,
 
 
 def bottom_up_ae_keypoints(video_path: str, batch_size: int = 8,
-                           score_threshold: float = 0.15) -> List[np.ndarray]:
+                           score_threshold: float = 0.15,
+                           backbone: str = None) -> List[np.ndarray]:
     """True bottom-up multi-person keypoints: the associative-embedding
     heatmap+tag net (models/bottomup_ae.py), one full-frame device program
     per batch — no person detector (reference wrappers/mmpose.py:84-121).
+
+    ``backbone`` selects the architecture ("AEBottomUp" default or
+    "HigherHRNet", the checkpoint-parity mmpose AE net,
+    models/higherhrnet.py); normally it comes from the BottomUpMethodLookup
+    row (method selection is data — reference pipeline.py:133-147), with
+    PPT_BOTTOMUP_BACKBONE kept as an env override for ad-hoc runs.
 
     Returns list over frames of (P, 17, 3) arrays (people with score above
     ``score_threshold``)."""
     from ..models.bottomup_ae import get_bottomup_model
 
-    # PPT_BOTTOMUP_BACKBONE=HigherHRNet serves the checkpoint-parity mmpose
-    # AE architecture (models/higherhrnet.py) through the same decoder
     model = get_bottomup_model(
-        os.environ.get("PPT_BOTTOMUP_BACKBONE", "AEBottomUp"))
+        backbone or os.environ.get("PPT_BOTTOMUP_BACKBONE", "AEBottomUp"))
     out: List[np.ndarray] = []
     for frames, valid in frame_batches(video_path, batch_size):
         people, scores = model(frames)

@@ -47,6 +47,10 @@ class BottomUpMethodLookup(Lookup):
         {"bottom_up_method_name": "OpenPose_HR"},
         {"bottom_up_method_name": "OpenPose_LR"},
         {"bottom_up_method_name": "MMPose"},
+        # checkpoint-parity mmpose HigherHRNet AE net served as its own
+        # registry row (method selection is data, reference
+        # pipeline.py:133-147) rather than an env-var switch
+        {"bottom_up_method_name": "MMPose_HigherHRNet"},
         {"bottom_up_method_name": "Bridging_OpenPose"},
         {"bottom_up_method_name": "Synthetic"},
     ]
@@ -98,13 +102,17 @@ class BottomUpPeople(Computed):
                 kp = np.concatenate([np.asarray(kp)[..., :2], conf[..., None]], axis=-1)
                 final.append(filter_skeleton(kp, "coco_25")[:, reorder])
             key["keypoints"] = final
-        elif method == "MMPose":
+        elif method in ("MMPose", "MMPose_HigherHRNet"):
             # true bottom-up: associative-embedding heatmap+tag net, no
             # detector (reference wrappers/mmpose.py:84-121 HigherHRNet/AE);
-            # COCO-17 convention for the MMPose slot
+            # COCO-17 convention. The MMPose_HigherHRNet row serves the
+            # checkpoint-parity mmpose architecture (models/higherhrnet.py)
             video = Video.get_robust_reader(key, return_cap=False)
+            backbone = ("HigherHRNet" if method == "MMPose_HigherHRNet"
+                        else None)
             try:
-                key["keypoints"] = backends.bottom_up_ae_keypoints(video)
+                key["keypoints"] = backends.bottom_up_ae_keypoints(
+                    video, backbone=backbone)
             finally:
                 if os.path.exists(video):
                     os.remove(video)

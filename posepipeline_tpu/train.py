@@ -553,15 +553,7 @@ class MeshTrainer:
                 self.lr * 0.05)))
         opt_state = opt.init(model.params)
 
-        def sample(k):
-            kp, kb, kc, kcol, kaug = jax.random.split(k, 5)
-            aa = 0.25 * jax.random.normal(kp, (J, 3))
-            aa = aa.at[0].multiply(0.3)
-            betas = 0.5 * jax.random.normal(kb, (model.cfg.n_betas,))
-            s = jax.random.uniform(kc, (), minval=0.7, maxval=1.0)
-            t = jax.random.uniform(jax.random.fold_in(kc, 1), (2,),
-                                   minval=-0.1, maxval=0.1)
-            cam = jnp.concatenate([s[None], t])
+        def render(aa, betas, cam, kcol, kaug, kocc):
             R = rodrigues(aa)
             verts, joints = body._forward(betas[None], R[None],
                                           jnp.zeros((1, 3)))
@@ -570,6 +562,7 @@ class MeshTrainer:
             verts = verts - joints[:1]
             joints = joints - joints[:1]
             # weak perspective → crop pixels (y grows downward)
+            s, t = cam[0], cam[1:]
             xy = s * verts[:, :2] + t
             px = (xy[:, 0] + 1.0) * 0.5 * tw
             py = (1.0 - xy[:, 1]) * 0.5 * th
@@ -579,16 +572,76 @@ class MeshTrainer:
             color = synthjax._sample_color(kcol)
             img = 16.0 + mask[..., None] * (
                 (0.35 + 0.65 * shade[..., None]) * color - 16.0)
+            if kocc is not None:
+                # random occluder rectangle (per-frame): makes single-frame
+                # observations ambiguous so the temporal encoders carry
+                # real signal across the track (VERDICT r4 task 10)
+                ko1, ko2 = jax.random.split(kocc)
+                oy = jax.random.uniform(ko1, (2,)) * jnp.asarray([th, tw])
+                osz = jax.random.uniform(ko2, (2,), minval=0.15, maxval=0.4) \
+                    * jnp.asarray([th, tw])
+                yy = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0)
+                xx = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1)
+                inside = ((yy >= oy[0]) & (yy <= oy[0] + osz[0])
+                          & (xx >= oy[1]) & (xx <= oy[1] + osz[1]))
+                img = jnp.where(inside[..., None], 90.0, img)
             img = synthjax.photometric(kaug, img)
             pose6d_t = jnp.concatenate([R[:, 0, :], R[:, 1, :]], -1)
             return img, pose6d_t, betas, cam, joints
+
+        def sample(k):
+            kp, kb, kc, kcol, kaug = jax.random.split(k, 5)
+            aa = 0.25 * jax.random.normal(kp, (J, 3))
+            aa = aa.at[0].multiply(0.3)
+            betas = 0.5 * jax.random.normal(kb, (model.cfg.n_betas,))
+            s = jax.random.uniform(kc, (), minval=0.7, maxval=1.0)
+            t = jax.random.uniform(jax.random.fold_in(kc, 1), (2,),
+                                   minval=-0.1, maxval=0.1)
+            cam = jnp.concatenate([s[None], t])
+            return render(aa, betas, cam, kcol, kaug, None)
+
+        def sample_seq(k):
+            """One smooth motion track of length ``batch`` (one subject:
+            endpoint poses interpolated, fixed betas, drifting cam) with a
+            random occluder per frame — the training signal the temporal
+            slots (VIBE conv encoder / MEVA motion bottleneck) need; a batch
+            of unrelated frames trains them as identity."""
+            kp0, kp1, kb, kc, kcol, kaug, kocc = jax.random.split(k, 7)
+            aa0 = 0.25 * jax.random.normal(kp0, (J, 3))
+            aa1 = 0.25 * jax.random.normal(kp1, (J, 3))
+            aa0 = aa0.at[0].multiply(0.3)
+            aa1 = aa1.at[0].multiply(0.3)
+            betas = 0.5 * jax.random.normal(kb, (model.cfg.n_betas,))
+            s0 = jax.random.uniform(kc, (), minval=0.7, maxval=1.0)
+            t0 = jax.random.uniform(jax.random.fold_in(kc, 1), (2,),
+                                    minval=-0.1, maxval=0.1)
+            dt = jax.random.uniform(jax.random.fold_in(kc, 2), (2,),
+                                    minval=-0.05, maxval=0.05)
+            alphas = jnp.linspace(0.0, 1.0, batch)
+
+            def frame(i, a):
+                aa = (1 - a) * aa0 + a * aa1
+                cam = jnp.concatenate([s0[None], t0 + a * dt])
+                return render(aa, betas, cam,
+                              jax.random.fold_in(kcol, 0),  # one appearance
+                              jax.random.fold_in(kaug, i),
+                              jax.random.fold_in(kocc, i))
+
+            return jax.vmap(frame)(jnp.arange(batch), alphas)
+
+        temporal = getattr(model.cfg, "temporal", False)
 
         @jax.jit
         def scan_steps(params, opt_state, key):
             def bodyf(carry, k):
                 params, opt_state = carry
-                imgs, pose_t, betas_t, cam_t, joints_t = jax.vmap(sample)(
-                    jax.random.split(k, batch))
+                if temporal:
+                    # one motion track per step: the "batch" axis IS the
+                    # sequence the temporal encoder sees at inference
+                    imgs, pose_t, betas_t, cam_t, joints_t = sample_seq(k)
+                else:
+                    imgs, pose_t, betas_t, cam_t, joints_t = jax.vmap(sample)(
+                        jax.random.split(k, batch))
                 x = normalize_imagenet(imgs)
 
                 def loss_fn(p):

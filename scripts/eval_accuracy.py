@@ -71,6 +71,55 @@ def eval_topdown_pipeline(det, td, n_clips=4, frames=48, hw=(240, 320),
     return correct2 / total, correct1 / total
 
 
+def eval_topdown_trivial(det, n_clips=4, frames=48, hw=(240, 320),
+                         seed=100, hard=False, train_seed=0, train_clips=2):
+    """Trivial-predictor calibration for the flagship PCK (VERDICT r4
+    task 4): a CONSTANT mean 2D pose (computed from training-seed clips,
+    normalized to the GT person box) pasted into the detector's box each
+    frame. Any learned PCK must clear this number; it also quantifies how
+    much of the flagship's score the detector alone provides."""
+    from posepipeline_tpu.media.video import frame_batches
+    from posepipeline_tpu.ops.boxes import fix_aspect_ratio
+    from posepipeline_tpu.testing import synthetic_video
+
+    H, W = hw
+    # mean pose in GT-box-normalized coords, from training-distribution clips
+    poses = []
+    for c in range(train_clips):
+        clip = synthetic_video(num_frames=frames, width=W, height=H,
+                               num_people=1, seed=train_seed + c, hard=hard)
+        g = clip.keypoints[:, 0][..., :2]                    # (T, 17, 2)
+        mn = g.min(axis=1, keepdims=True)
+        ext = np.maximum(g.max(axis=1, keepdims=True) - mn, 1e-3)
+        poses.append((g - mn) / ext)
+        os.remove(clip.path)
+    mean_pose = np.concatenate(poses).mean(axis=0)           # (17, 2)
+
+    correct2, correct1, total = 0.0, 0.0, 0
+    for c in range(n_clips):
+        clip = synthetic_video(num_frames=frames, width=W, height=H,
+                               num_people=1, seed=seed + c, hard=hard)
+        gt = clip.keypoints[:, 0]
+        pred_all = []
+        for batch, valid in frame_batches(clip.path, 8):
+            n = int(valid.sum())
+            boxes, _ = det(batch)
+            boxes = np.asarray(boxes)[:n, 0]                 # TLHW
+            pred = (boxes[:, None, :2]
+                    + mean_pose[None] * boxes[:, None, 2:])  # (n, 17, 2)
+            pred_all.append(pred)
+        pred_all = np.concatenate(pred_all)[: len(gt)]
+        scale = max(float(np.ptp(gt[..., 0])), float(np.ptp(gt[..., 1])))
+        valid = (gt[..., 2] > 0 if gt.shape[-1] > 2
+                 else np.ones(gt.shape[:-1], bool))
+        d = np.linalg.norm(pred_all - gt[..., :2], axis=-1)
+        correct2 += float(((d < 0.2 * scale) & valid).sum())
+        correct1 += float(((d < 0.1 * scale) & valid).sum())
+        total += float(valid.sum())
+        os.remove(clip.path)
+    return correct2 / total, correct1 / total
+
+
 def eval_bottomup_ae(model, n_batches=6, batch=4, hw=(128, 160),
                      num_people=2, seed=300):
     """Held-out multi-person frames → AE people matched to GT by mean joint
@@ -184,6 +233,7 @@ def main():
     pck02_i4, pck01_i4 = eval_topdown_pipeline(det, td, det_interval=4)
     h02, h01 = eval_topdown_pipeline(det, td, det_interval=1, hard=True)
     h02_i4, h01_i4 = eval_topdown_pipeline(det, td, det_interval=4, hard=True)
+    tr02, tr01 = eval_topdown_trivial(det, hard=True)
 
     report += [
         "## 2D: detector → crop → top-down net (full pipeline path)",
@@ -204,10 +254,13 @@ def main():
         f"| easy, det_interval=4 (bench path) | {pck02_i4:.3f} | {pck01_i4:.3f} |",
         f"| **hardened**, per-frame detection | {h02:.3f} | {h01:.3f} |",
         f"| **hardened**, det_interval=4 (bench path) | {h02_i4:.3f} | {h01_i4:.3f} |",
+        f"| hardened TRIVIAL (constant mean pose in detector box) | {tr02:.3f} | {tr01:.3f} |",
         "",
         f"det_interval=4 costs {h02 - h02_i4:+.3f} PCK@0.2 on the hardened",
         "protocol — the measured accuracy price of the bench's every-4th-frame",
-        "detection, re-quantified where the metric has headroom.",
+        "detection, re-quantified where the metric has headroom. The TRIVIAL",
+        "row is the constant-mean-pose calibration baseline (VERDICT r4",
+        "task 4): it bounds how much PCK the detector alone provides.",
         "",
     ]
 
@@ -327,9 +380,12 @@ def main():
         slot_rows += esa.eval_lifters(("GastNet", "VideoPose3D", "PoseAug",
                                        "RIE", "PoseFormer"))
         slot_rows += esa.eval_bridging()
+        slot_rows += esa.eval_mesh_trivial()
         slot_rows += esa.eval_mesh_slots()
+        slot_rows += esa.eval_mesh_tracks()
         slot_rows += esa.eval_romp()
         slot_rows += esa.eval_action()
+        slot_rows += esa.eval_bottomup_slots()
         slot_rows += esa.eval_reid()
         report += [
             "## Per-slot held-out accuracy (all remaining registry slots)",

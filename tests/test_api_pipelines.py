@@ -64,8 +64,12 @@ def test_action_and_hands_tables(env):
     # skeleton action over the synthetic top-down keypoints
     akey = dict(key, tracking_method=100, video_subject_id=0, top_down_method=100)
     p.SkeletonAction.populate(akey)
-    row = (p.SkeletonAction & akey).fetch1()
+    # both SkeletonActionMethodLookup rows compute and are
+    # schema-distinguishable (method is a primary-key attribute)
+    row = (p.SkeletonAction & akey & 'method="PoseC3D"').fetch1()
     assert len(row["top5"]) == 5 and row["action_window_len"] > 0
+    row2 = (p.SkeletonAction & akey & 'method="PoseC3D_SlowOnly"').fetch1()
+    assert len(row2["top5"]) == 5 and row2["action_window_len"] > 0
 
     # hand boxes from COCO wrists (RTMDet slot) + hand pose
     hkey = dict(key, detection_method=0)
