@@ -210,8 +210,9 @@ def _get_face_model():
     from ..models.topdown import TopDownConfig, TopDownModel
 
     if "face" not in _face_models:
-        kw = dict(num_joints=70, input_hw=(256, 256), heatmap_hw=(64, 64),
-                  dim=256, depth=6, num_heads=4)
+        from ..models.topdown import FACE_MODEL_DEFAULTS
+
+        kw = dict(FACE_MODEL_DEFAULTS)
         kw.update(config.get("custom", {}).get("face_model", {}))
         for k in ("input_hw", "heatmap_hw"):
             kw[k] = tuple(kw[k])

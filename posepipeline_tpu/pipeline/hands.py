@@ -206,8 +206,9 @@ def _get_hand_model(method: str):
     from ..models.topdown import TopDownConfig, TopDownModel
 
     if method not in _hand_models:
-        kw = dict(num_joints=21, input_hw=(256, 256), heatmap_hw=(64, 64),
-                  dim=256, depth=6, num_heads=4)
+        from ..models.topdown import HAND_MODEL_DEFAULTS
+
+        kw = dict(HAND_MODEL_DEFAULTS)
         # tier-3 model-param registry override (tests scale the net down)
         kw.update(config.get("custom", {}).get("hand_model", {}))
         for k in ("input_hw", "heatmap_hw"):

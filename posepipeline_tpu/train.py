@@ -384,13 +384,21 @@ class LifterTrainer:
 
     def __init__(self, model, learning_rate: float = 1e-3):
         self.model = model
-        # clip + warmup-cosine: unclipped Adam on the focal/L1 losses
-        # diverges late in training (observed: loss 0.45@240 -> 14@300)
+        self.lr = learning_rate
+        self.opt = None          # built per-fit so the decay matches steps
+        self.opt_state = None
+
+    def _make_opt(self, steps: int):
+        # clip + warmup-cosine sized to the ACTUAL run length: the r2-r4
+        # schedule hardcoded decay_steps=400, so any longer run spent its
+        # tail at floor LR — one reason PoseFormer stalled at 63.7 mm while
+        # its slot mates converged (VERDICT r4 weak #8)
         self.opt = optax.chain(
             optax.clip_by_global_norm(1.0),
             optax.adam(optax.schedules.warmup_cosine_decay_schedule(
-                0.0, learning_rate, 20, 400, learning_rate * 0.05)))
-        self.opt_state = self.opt.init(model.params)
+                0.0, self.lr, min(20, max(steps // 10, 1)), max(steps, 21),
+                self.lr * 0.05)))
+        self.opt_state = self.opt.init(self.model.params)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _step(self, params, opt_state, kp2d_norm, kp3d):
@@ -408,6 +416,8 @@ class LifterTrainer:
                       log_every: int = 0):
         from .models.lifting import normalize_screen_coordinates
 
+        if self.opt is None:
+            self._make_opt(steps)
         cfg = self.model.cfg
         frames = frames or max(cfg.receptive_field, 32)
         rng = np.random.default_rng(seed)
@@ -822,10 +832,29 @@ class ROMPTrainer:
                     logits, pmap = model.net.apply(p, x)
                     l_center = center_focal_loss(logits, centers)
                     P = pmap.shape[-1]
+                    # matched-cell neighborhood supervision (the wrapped
+                    # ROMP repo's training rule): every cell under a GT
+                    # center's gaussian must carry that person's params —
+                    # peak-NMS reads out whichever cell wins, and r4's
+                    # exact-cell-only supervision left adjacent cells with
+                    # garbage params (recall 0.188: peaks fired but the
+                    # regressed cam missed the match radius)
+                    cxp = (_cams[..., 1] + 1.0) * 0.5 * gw      # (B, 2)
+                    cyp = (1.0 - _cams[..., 2]) * 0.5 * gh
+                    sigma = jnp.maximum(_cams[..., 0] * gh / 3.0, 1.0)
+                    yy = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0)
+                    xx = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 1)
+                    d2 = ((yy[None, None] - cyp[..., None, None]) ** 2
+                          + (xx[None, None] - cxp[..., None, None]) ** 2)
+                    w = jnp.exp(-d2 / (2 * sigma[..., None, None] ** 2))
+                    w = jnp.where(w > 0.3, w, 0.0)              # (B, 2, gh, gw)
+                    diff2 = jnp.mean(
+                        (pmap[:, None] - targets[:, :, None, None]) ** 2,
+                        axis=-1)                                 # (B, 2, gh, gw)
+                    l_param = (w * diff2).sum() / jnp.maximum(w.sum(), 1.0)
                     pred = jnp.take_along_axis(
                         pmap.reshape(batch, gh * gw, P),
                         cells[..., None], axis=1)       # (B, 2, P)
-                    l_param = jnp.mean((pred - targets) ** 2)
                     # FK joint term (same rationale as MeshTrainer): param
                     # MSE alone leaves the pose head near the identity floor
                     flat_p = pred.reshape(batch * 2, P)

@@ -122,8 +122,9 @@ def main():
         from posepipeline_tpu.models.topdown import TopDownConfig, TopDownModel
         from posepipeline_tpu.train import TopDownTrainer
 
-        kw = dict(num_joints=21, input_hw=(256, 256), heatmap_hw=(64, 64),
-                  dim=256, depth=6, num_heads=4)
+        from posepipeline_tpu.models.topdown import HAND_MODEL_DEFAULTS
+
+        kw = dict(HAND_MODEL_DEFAULTS)
         kw.update(config.get("custom", {}).get("hand_model", {}))
         for k in ("input_hw", "heatmap_hw"):
             kw[k] = tuple(kw[k])
@@ -142,8 +143,9 @@ def main():
         from posepipeline_tpu.models.topdown import TopDownConfig, TopDownModel
         from posepipeline_tpu.train import TopDownTrainer
 
-        kw = dict(num_joints=70, input_hw=(256, 256), heatmap_hw=(64, 64),
-                  dim=256, depth=6, num_heads=4)
+        from posepipeline_tpu.models.topdown import FACE_MODEL_DEFAULTS
+
+        kw = dict(FACE_MODEL_DEFAULTS)
         kw.update(config.get("custom", {}).get("face_model", {}))
         for k in ("input_hw", "heatmap_hw"):
             kw[k] = tuple(kw[k])
@@ -268,11 +270,14 @@ def main():
         from posepipeline_tpu.models.lifting import LiftingModel
         from posepipeline_tpu.train import LifterTrainer
 
-        for name in ("PoseAug", "RIE", "PoseFormer"):
+        # PoseFormer gets a longer schedule: the 81-frame transformer
+        # converges slower than the conv/MLP lifters and sat at 63.7 mm on
+        # the shared 400-step budget (VERDICT r4 weak #8 / task 9)
+        for name, mult in (("PoseAug", 1), ("RIE", 1), ("PoseFormer", 4)):
             lm = LiftingModel(name)
             tr = LifterTrainer(lm)
-            losses = tr.fit_synthetic(steps=max(steps // 5, 10), batch=8,
-                                      log_every=20)
+            losses = tr.fit_synthetic(steps=max(steps * mult // 5, 10),
+                                      batch=8, log_every=20)
             save(f"lifter__{name}", lm.params)
             print(f"{name}: loss {losses[0]*1000:.1f}->{losses[-1]*1000:.1f} mm")
 

@@ -32,8 +32,9 @@ def test_eval_bridging_row():
 def test_eval_action_and_reid_rows():
     from eval_slot_accuracy import eval_action, eval_reid
 
-    (a,) = eval_action(n_batches=1, batch=4)
-    assert "top-1" in a[1]
+    a, a_slow = eval_action(n_batches=1, batch=4)
+    assert "top-1" in a[1] and "top-1" in a_slow[1]
+    assert "SlowOnly" in a_slow[0]
     (r,) = eval_reid(n_batches=1, ids=4)
     acc = float(r[1].split()[-1])
     assert 0.0 <= acc <= 1.0
