@@ -85,11 +85,27 @@ class ROMPNet(nn.Module):
         return center, params + bias
 
 
+def cell_positions(gh: int, gw: int):
+    """Normalized (x, y) center of every feature cell, y-up convention:
+    (gh, gw, 2). The dense cam head predicts translation as an OFFSET from
+    this — a translation-invariant conv cannot regress absolute (tx, ty)
+    (observed r5: the absolute form collapsed to ~0 and recall died at the
+    match radius while the center peaks themselves were near-perfect); the
+    wrapped ROMP repo's cam maps are cell-relative for the same reason."""
+    yy = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 1)
+    cx = (xx + 0.5) / gw * 2.0 - 1.0
+    cy = 1.0 - (yy + 0.5) / gh * 2.0
+    return jnp.stack([cx, cy], axis=-1)
+
+
 def decode_romp(center_logits, param_maps, k: int = 8):
     """Peak-NMS + static top-K people readout.
 
     Returns (scores (B, K), centers_px (B, K, 2) feature-map-pixel coords
-    ×stride, params (B, K, P)) sorted by score."""
+    ×stride, params (B, K, P)) sorted by score. The last two param channels
+    (cam tx, ty) are converted from cell-relative offsets to absolute
+    normalized coords by adding the winning cell's position."""
     prob = jax.nn.sigmoid(center_logits)
     pooled = nn.max_pool(prob[..., None], (3, 3), strides=(1, 1),
                          padding="SAME")[..., 0]
@@ -102,6 +118,11 @@ def decode_romp(center_logits, param_maps, k: int = 8):
     P = param_maps.shape[-1]
     params = jnp.take_along_axis(param_maps.reshape(B, H * W, P),
                                  idx[..., None], axis=1)
+    cellpos = jnp.take_along_axis(
+        cell_positions(H, W).reshape(1, H * W, 2).repeat(B, axis=0),
+        idx[..., None], axis=1)                      # (B, K, 2)
+    params = jnp.concatenate([params[..., :-2], params[..., -2:] + cellpos],
+                             axis=-1)
     return scores, jnp.stack([xs, ys], axis=-1), params
 
 

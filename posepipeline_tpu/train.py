@@ -832,6 +832,15 @@ class ROMPTrainer:
                     logits, pmap = model.net.apply(p, x)
                     l_center = center_focal_loss(logits, centers)
                     P = pmap.shape[-1]
+                    # cell-relative cam translation → absolute, for
+                    # comparison against absolute targets (models/romp.py
+                    # cell_positions: convs can't regress absolute tx/ty)
+                    from .models.romp import cell_positions
+
+                    pmap = jnp.concatenate(
+                        [pmap[..., :-2],
+                         pmap[..., -2:] + cell_positions(gh, gw)[None]],
+                        axis=-1)
                     # matched-cell neighborhood supervision (the wrapped
                     # ROMP repo's training rule): every cell under a GT
                     # center's gaussian must carry that person's params —
