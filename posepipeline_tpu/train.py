@@ -610,8 +610,8 @@ class MeshTrainer:
             cam = jnp.concatenate([s[None], t])
             return render(aa, betas, cam, kcol, kaug, None)
 
-        def sample_seq(k):
-            """One smooth motion track of length ``batch`` (one subject:
+        def sample_seq(k, T):
+            """One smooth motion track of length ``T`` (one subject:
             endpoint poses interpolated, fixed betas, drifting cam) with a
             random occluder per frame — the training signal the temporal
             slots (VIBE conv encoder / MEVA motion bottleneck) need; a batch
@@ -627,7 +627,7 @@ class MeshTrainer:
                                     minval=-0.1, maxval=0.1)
             dt = jax.random.uniform(jax.random.fold_in(kc, 2), (2,),
                                     minval=-0.05, maxval=0.05)
-            alphas = jnp.linspace(0.0, 1.0, batch)
+            alphas = jnp.linspace(0.0, 1.0, T)
 
             def frame(i, a):
                 aa = (1 - a) * aa0 + a * aa1
@@ -637,25 +637,47 @@ class MeshTrainer:
                               jax.random.fold_in(kaug, i),
                               jax.random.fold_in(kocc, i))
 
-            return jax.vmap(frame)(jnp.arange(batch), alphas)
+            return jax.vmap(frame)(jnp.arange(T), alphas)
 
         temporal = getattr(model.cfg, "temporal", False)
+        # temporal slots train on S independent tracks of T frames per step
+        # (net vmapped per track): r5's first cut used ONE batch-length
+        # track per step and the correlated samples starved the encoders
+        # (VIBE/MEVA evaluated AT the trivial-predictor floor); T must also
+        # cover most of the temporal kernel or the conv is all edge
+        # padding. Hard-capped at 16: the T=26 MEVA program reproducibly
+        # crashed the TPU worker (axon runtime fault, 5/5 attempts) while
+        # T=16 runs clean — and 16 frames still covers a 13-tap kernel.
+        seq_T = 16
+        seq_S = max(2, batch // 4)
 
         @jax.jit
         def scan_steps(params, opt_state, key):
             def bodyf(carry, k):
                 params, opt_state = carry
                 if temporal:
-                    # one motion track per step: the "batch" axis IS the
-                    # sequence the temporal encoder sees at inference
-                    imgs, pose_t, betas_t, cam_t, joints_t = sample_seq(k)
+                    imgs, pose_t, betas_t, cam_t, joints_t = jax.vmap(
+                        lambda kk: sample_seq(kk, seq_T))(
+                            jax.random.split(k, seq_S))
+                    flat = lambda a: a.reshape((-1,) + a.shape[2:])
+                    pose_t, betas_t, cam_t, joints_t = (
+                        flat(pose_t), flat(betas_t), flat(cam_t),
+                        flat(joints_t))
                 else:
                     imgs, pose_t, betas_t, cam_t, joints_t = jax.vmap(sample)(
                         jax.random.split(k, batch))
                 x = normalize_imagenet(imgs)
 
                 def loss_fn(p):
-                    outs = model.net.apply(p, x)
+                    if temporal:
+                        # apply per track (the encoder sees each track as
+                        # one sequence), then flatten to frame rows
+                        outs = jax.vmap(
+                            lambda c: model.net.apply(p, c))(x)
+                        outs = jax.tree_util.tree_map(
+                            lambda a: a.reshape((-1,) + a.shape[2:]), outs)
+                    else:
+                        outs = model.net.apply(p, x)
                     if model.cfg.joint_head:
                         pose6d, betas, cam, delta = outs
                         eye = jnp.tile(jnp.eye(3), (batch, J, 1, 1))

@@ -201,7 +201,7 @@ def _mesh_eval_seq_batch(body, crop_hw, key, T):
     return normalize_imagenet(imgs), np.asarray(gts)
 
 
-def eval_mesh_tracks(names=("VIBE", "MEVA", "ProHMR"), n_tracks=4, T=8,
+def eval_mesh_tracks(names=("VIBE", "MEVA", "ProHMR"), n_tracks=4, T=16,
                      seed=9700):
     """Occluded-track MPJPE for the temporal slots (and one single-frame
     slot for contrast): per-frame occluders make single-frame readout

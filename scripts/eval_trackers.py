@@ -165,6 +165,24 @@ def run_scenario(tracker, trajs, drops, fp_every, low_score, seed, noise=2.5,
     return gt_frames, found, int(switches.sum())
 
 
+def tracker_table_rows(seeds: int = 4):
+    """(variant, fraction_found, id_switches) per registry tracker —
+    consumed by scripts/eval_accuracy.py for the ACCURACY.md table."""
+    rows = []
+    for name in TRACKER_METHOD_VARIANTS:
+        gt_total, found_total, sw_total = 0, 0, 0
+        for sc_name, sc in SCENARIOS.items():
+            for s in range(seeds):
+                trajs, drops, fp, low = sc(s)
+                tracker = make_tracker(name)
+                g, f, sw = run_scenario(tracker, trajs, drops, fp, low, seed=s)
+                gt_total += g
+                found_total += f
+                sw_total += sw
+        rows.append((name, found_total / gt_total, sw_total))
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=4)
@@ -173,17 +191,8 @@ def main():
     print("| tracker variant | fraction_found | ID switches "
           f"(total over {len(SCENARIOS)} scenarios x {args.seeds} seeds) |")
     print("|---|---|---|")
-    for name in TRACKER_METHOD_VARIANTS:
-        gt_total, found_total, sw_total = 0, 0, 0
-        for sc_name, sc in SCENARIOS.items():
-            for s in range(args.seeds):
-                trajs, drops, fp, low = sc(s)
-                tracker = make_tracker(name)
-                g, f, sw = run_scenario(tracker, trajs, drops, fp, low, seed=s)
-                gt_total += g
-                found_total += f
-                sw_total += sw
-        print(f"| {name} | {found_total / gt_total:.3f} | {sw_total} |")
+    for name, ff, sw in tracker_table_rows(args.seeds):
+        print(f"| {name} | {ff:.3f} | {sw} |")
 
 
 if __name__ == "__main__":
