@@ -99,7 +99,13 @@ def _higherhrnet_head(cfg: BottomUpConfig):
             tags = jax.image.resize(out0[..., J:], out1.shape, "bilinear")
             return jnp.concatenate([0.5 * (hm0 + out1), tags], axis=-1)
 
-    return HigherHRNetAEHead(num_joints=cfg.num_joints)
+    # tier-3 override: train_all_slots sets {"train_norm": True} while
+    # fitting, then folds the stats back into conv biases so the shipped
+    # npz keeps the converted-checkpoint layout (models/hrnet.py recipe)
+    from ..core.config import config
+
+    hk = dict(config.get("custom", {}).get("higherhrnet_model", {}))
+    return HigherHRNetAEHead(num_joints=cfg.num_joints, **hk)
 
 
 class AEBottomUpModel:

@@ -44,11 +44,17 @@ class HigherHRNetAE(nn.Module):
     num_basic_blocks: int = 4
     stage_modules: Tuple[int, int, int] = (1, 4, 3)
     dtype: Dtype = jnp.bfloat16
+    # train-time BatchStatNorm (models/hrnet.BatchStatNorm): the stat-free
+    # folded layout is untrainable from scratch — the r4 weights measured
+    # PCK 0.235 served, the same disease the HRNet-W48 slot had at 0.000.
+    # fold_train_norm() recovers the checkpoint-parity layout after training.
+    train_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
         f = HRNet(width=self.width, stage_modules=self.stage_modules,
-                  name="backbone", dtype=self.dtype)(x)
+                  name="backbone", dtype=self.dtype,
+                  train_norm=self.train_norm)(x)
         out0 = nn.Conv(2 * self.num_joints, (1, 1), use_bias=True,
                        name="final_layer0", dtype=jnp.float32)(
                            f.astype(jnp.float32))
@@ -59,7 +65,7 @@ class HigherHRNetAE(nn.Module):
             dtype=self.dtype)(y.astype(self.dtype)))
         for n in range(self.num_basic_blocks):
             y = BasicBlock(self.width, name=f"deconv0_block{n}",
-                           dtype=self.dtype)(y)
+                           dtype=self.dtype, train_norm=self.train_norm)(y)
         out1 = nn.Conv(self.num_joints, (1, 1), use_bias=True,
                        name="final_layer1", dtype=jnp.float32)(
                            y.astype(jnp.float32))

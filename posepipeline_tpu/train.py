@@ -469,11 +469,20 @@ class AETrainer:
 
     def __init__(self, model, learning_rate: float = 1e-3):
         self.model = model
+        self.lr = learning_rate
+        self.opt = None   # built per-fit so the cosine decay matches steps
+        self.opt_state = None
+
+    def _make_opt(self, steps: int):
+        # decay sized to the ACTUAL run (the hardcoded-400 schedule left
+        # longer runs at floor LR — same bug LifterTrainer had, VERDICT r4
+        # weak #8)
         self.opt = optax.chain(
             optax.clip_by_global_norm(1.0),
             optax.adam(optax.schedules.warmup_cosine_decay_schedule(
-                0.0, learning_rate, 20, 400, learning_rate * 0.05)))
-        self.opt_state = self.opt.init(model.params)
+                0.0, self.lr, min(20, max(steps // 10, 1)), max(steps, 21),
+                self.lr * 0.05)))
+        self.opt_state = self.opt.init(self.model.params)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _step(self, params, opt_state, frames, keypoints):
@@ -510,6 +519,8 @@ class AETrainer:
                       seed: int = 0, log_every: int = 0):
         from .testing import synthetic_multi_frames
 
+        if self.opt is None:
+            self._make_opt(steps)
         rng = np.random.default_rng(seed)
         losses = []
         for step in range(steps):
@@ -1001,8 +1012,11 @@ class BridgingTrainer:
                     z_s = z[:, self.sup_idx]
                     l_uv = (mask[None, :, None]
                             * (uv_s - uv_t) ** 2).sum() / mask.sum() / batch
+                    # 4x depth weight: at 1x the depth head stalled 22 mm
+                    # above the scale-from-height Bayes optimum (r5: 172 vs
+                    # 150 mm) — the uv term dominated the shared features
                     l_z = jnp.mean(((z_s - z0) / 1000.0) ** 2)
-                    return l_uv * 10.0 + l_z
+                    return l_uv * 10.0 + 4.0 * l_z
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = opt.update(grads, opt_state)

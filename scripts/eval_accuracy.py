@@ -172,6 +172,11 @@ def main():
     ap.add_argument("--ae-steps", type=int, default=300,
                     help="AE bottom-up steps (host-rendered fixtures)")
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--reuse", action="store_true",
+                    help="load det/2D/lifter/AE weights from the registry "
+                         "instead of retraining them — every EVAL still "
+                         "runs, so the report measures the shipped npz "
+                         "through the identical protocol")
     ap.add_argument("--out-dir", default="weights")
     ap.add_argument("--report", default="ACCURACY.md")
     ap.add_argument("--no-slots", action="store_true",
@@ -217,30 +222,47 @@ def main():
     # counts are 10-100× the old host trainers' for the same wall clock
     # (round 2 was capped at 300 host-fed steps → PCK 0.46, undertrained)
     t0 = time.time()
-    det = PersonDetector(DetectorConfig(max_detections=8), input_hw=(240, 320))
-    dt = DetectorTrainer(det)
-    dl = dt.fit_device(steps=args.steps, batch=args.batch, hw=(240, 320),
-                       log_every=1)
-    td = TopDownModel(TOPDOWN_CONFIGS["MMPose"])
-    tt = TopDownTrainer(td)
-    tl = tt.fit_device(steps=args.steps, batch=args.batch, log_every=1)
+    if args.reuse:
+        os.environ.setdefault("PPT_WEIGHTS_DIR", os.path.abspath(args.out_dir))
+        from posepipeline_tpu.models.topdown import get_topdown_model as _gtm
+
+        det = PersonDetector(DetectorConfig(max_detections=8),
+                             input_hw=(240, 320))
+        assert det.weights_loaded, "--reuse needs detector__CenterDet.npz"
+        td = _gtm("MMPose")
+        assert td.weights_loaded, "--reuse needs topdown__MMPose.npz"
+        dl = tl = [float("nan")]
+    else:
+        det = PersonDetector(DetectorConfig(max_detections=8),
+                             input_hw=(240, 320))
+        dt = DetectorTrainer(det)
+        dl = dt.fit_device(steps=args.steps, batch=args.batch, hw=(240, 320),
+                           log_every=1)
+        td = TopDownModel(TOPDOWN_CONFIGS["MMPose"])
+        tt = TopDownTrainer(td)
+        tl = tt.fit_device(steps=args.steps, batch=args.batch, log_every=1)
     train2d_s = time.time() - t0
 
-    # save BEFORE eval so a crash never loses a training run
-    save_params(os.path.join(args.out_dir, "topdown__MMPose.npz"), td.params)
-    save_params(os.path.join(args.out_dir, "detector__CenterDet.npz"), det.params)
+    if not args.reuse:
+        # save BEFORE eval so a crash never loses a training run
+        save_params(os.path.join(args.out_dir, "topdown__MMPose.npz"), td.params)
+        save_params(os.path.join(args.out_dir, "detector__CenterDet.npz"), det.params)
     pck02, pck01 = eval_topdown_pipeline(det, td, det_interval=1)
     pck02_i4, pck01_i4 = eval_topdown_pipeline(det, td, det_interval=4)
     h02, h01 = eval_topdown_pipeline(det, td, det_interval=1, hard=True)
     h02_i4, h01_i4 = eval_topdown_pipeline(det, td, det_interval=4, hard=True)
     tr02, tr01 = eval_topdown_trivial(det, hard=True)
 
+    train_line = (
+        "- weights: shipped registry npz (--reuse: evals re-run, training "
+        "skipped)" if args.reuse else
+        f"- training: {args.steps} steps each (detector focal+L1, top-down "
+        f"heatmap MSE), {train2d_s:.0f} s total on `{platform}`; "
+        f"losses {dl[0]:.3f}→{dl[-1]:.3f} (det), {tl[0]:.4f}→{tl[-1]:.4f} (2D)")
     report += [
         "## 2D: detector → crop → top-down net (full pipeline path)",
         "",
-        f"- training: {args.steps} steps each (detector focal+L1, top-down heatmap",
-        f"  MSE), {train2d_s:.0f} s total on `{platform}`;",
-        f"  losses {dl[0]:.3f}→{dl[-1]:.3f} (det), {tl[0]:.4f}→{tl[-1]:.4f} (2D)",
+        train_line,
         "- eval: 4 held-out clips × 48 frames, PCK normalized by GT person size.",
         "  **hardened** = occluder bar + background clutter + brightness",
         "  flicker + 0.22-0.6×H scale range + an unannotated distractor",
@@ -260,7 +282,12 @@ def main():
         "protocol — the measured accuracy price of the bench's every-4th-frame",
         "detection, re-quantified where the metric has headroom. The TRIVIAL",
         "row is the constant-mean-pose calibration baseline (VERDICT r4",
-        "task 4): it bounds how much PCK the detector alone provides.",
+        "task 4): it shows the 0.2-threshold column is detector-saturated",
+        "on this protocol (a good box + mean pose already clears 0.2 x",
+        "person size for most joints), so **PCK@0.1 is the discriminative",
+        "column**: the learned heads beat the trivial baseline there by",
+        f"{h01 - tr01:+.3f} (flagship) — that margin, not the 0.2 column,",
+        "is the 2D heads' measured value on hardened clips.",
         "",
     ]
 
@@ -300,17 +327,23 @@ def main():
                         ("VideoPose3D", args.lifter_steps)):
         t0 = time.time()
         lm = LiftingModel(name)
-        lt = LifterTrainer(lm)
-        ll = lt.fit_synthetic(steps=steps, batch=8,
-                              log_every=max(steps // 5, 1))
+        if args.reuse:
+            assert lm.weights_loaded, f"--reuse needs lifter__{name}.npz"
+            tr_line = "- weights: shipped registry npz (--reuse)"
+        else:
+            lt = LifterTrainer(lm)
+            ll = lt.fit_synthetic(steps=steps, batch=8,
+                                  log_every=max(steps // 5, 1))
+            save_params(os.path.join(args.out_dir, f"lifter__{name}.npz"),
+                        lm.params)
+            tr_line = (f"- training: {steps} steps on synthetic 3D gait "
+                       f"(train.py synthetic_gait_3d), {time.time()-t0:.0f} s;"
+                       f" loss {ll[0]*1000:.1f}→{ll[-1]*1000:.1f} mm")
         err, perr = eval_lifter(lm)
-        save_params(os.path.join(args.out_dir, f"lifter__{name}.npz"), lm.params)
         report += [
             f"## 3D: {name} lifter (rf {lm.cfg.receptive_field})",
             "",
-            f"- training: {steps} steps on synthetic 3D gait (train.py"
-            f" synthetic_gait_3d), {time.time()-t0:.0f} s;"
-            f" loss {ll[0]*1000:.1f}→{ll[-1]*1000:.1f} mm",
+            tr_line,
             f"- held-out eval (8 seqs × 128 frames): **MPJPE {err:.1f} mm**,"
             f" **P-MPJPE {perr:.1f} mm**",
             "",
@@ -321,17 +354,31 @@ def main():
     from posepipeline_tpu.models.bottomup_ae import AEBottomUpModel, BottomUpConfig
     from posepipeline_tpu.train import AETrainer
 
-    ae = AEBottomUpModel(BottomUpConfig(widths=(16, 32, 64, 128)))
-    at = AETrainer(ae)
-    al = at.fit_synthetic(steps=args.ae_steps, batch=8,
-                          log_every=max(args.ae_steps // 5, 1))
+    # the SERVING default config — training a down-scaled variant here
+    # shipped an npz whose shapes didn't match get_bottomup_model's tree,
+    # so the MMPose bottom-up slot crashed at populate with the registry
+    # set (r5 bug; tests/test_weight_coverage.py now shape-checks this)
+    if args.reuse:
+        from posepipeline_tpu.models.bottomup_ae import get_bottomup_model
+
+        ae = get_bottomup_model("AEBottomUp")
+        assert ae.weights_loaded, "--reuse needs bottomup__AEBottomUp.npz"
+        ae_line = "- weights: shipped registry npz (--reuse)"
+    else:
+        ae = AEBottomUpModel(BottomUpConfig())
+        at = AETrainer(ae)
+        al = at.fit_synthetic(steps=args.ae_steps, batch=8,
+                              log_every=max(args.ae_steps // 5, 1))
+        save_params(os.path.join(args.out_dir, "bottomup__AEBottomUp.npz"),
+                    ae.params)
+        ae_line = (f"- training: {args.ae_steps} steps (heatmap MSE + tag "
+                   f"pull/push), {time.time()-t0:.0f} s; "
+                   f"loss {al[0]:.2f}→{al[-1]:.2f}")
     pck_ae = eval_bottomup_ae(ae)
-    save_params(os.path.join(args.out_dir, "bottomup__AEBottomUp.npz"), ae.params)
     report += [
         "## Bottom-up AE (multi-person, detector-free)",
         "",
-        f"- training: {args.ae_steps} steps (heatmap MSE + tag pull/push),"
-        f" {time.time()-t0:.0f} s; loss {al[0]:.2f}→{al[-1]:.2f}",
+        ae_line,
         f"- held-out eval (2-person frames, proximity-matched):"
         f" **PCK@0.2 {pck_ae:.3f}**",
         "",
@@ -339,20 +386,30 @@ def main():
 
     # ---- learned motion prior (HuMoR slot) ----
     t0 = time.time()
-    from posepipeline_tpu.models.motion_prior import train_motion_prior
+    if args.reuse:
+        report += [
+            "## Motion prior (HuMoR slot)",
+            "",
+            "- CVAE dynamics (latent 48) + 32-d pose PCA: shipped registry",
+            "  npz (--reuse); consumed by HumorPerson's 3-stage windowed",
+            "  fit (models/motion_prior.py)",
+            "",
+        ]
+    else:
+        from posepipeline_tpu.models.motion_prior import train_motion_prior
 
-    mp_params, pose_pca = train_motion_prior(steps=200, batch=16, frames=16)
-    save_params(os.path.join(args.out_dir, "motion__prior.npz"),
-                {"params": mp_params, "pca_mean": pose_pca["mean"],
-                 "pca_basis": pose_pca["basis"]})
-    report += [
-        "## Motion prior (HuMoR slot)",
-        "",
-        f"- CVAE dynamics (latent 48) + 32-d pose PCA trained on procedural",
-        f"  SMPL motion in {time.time()-t0:.0f} s; consumed by HumorPerson's",
-        "  3-stage windowed fit (models/motion_prior.py)",
-        "",
-    ]
+        mp_params, pose_pca = train_motion_prior(steps=200, batch=16, frames=16)
+        save_params(os.path.join(args.out_dir, "motion__prior.npz"),
+                    {"params": mp_params, "pca_mean": pose_pca["mean"],
+                     "pca_basis": pose_pca["basis"]})
+        report += [
+            "## Motion prior (HuMoR slot)",
+            "",
+            f"- CVAE dynamics (latent 48) + 32-d pose PCA trained on procedural",
+            f"  SMPL motion in {time.time()-t0:.0f} s; consumed by HumorPerson's",
+            "  3-stage windowed fit (models/motion_prior.py)",
+            "",
+        ]
 
     if not args.no_slots:
         # ---- per-slot held-out accuracy (every remaining registry slot) --

@@ -210,15 +210,39 @@ def main():
 
     # ---- HigherHRNet AE backbone (checkpoint-parity serving variant) ----
     if want("higherhrnet"):
-        from posepipeline_tpu.models.bottomup_ae import get_bottomup_model
+        import jax
+        import jax.numpy as jnp
+        import numpy as _np
+
+        from posepipeline_tpu.core.config import config
+        from posepipeline_tpu.models import bottomup_ae
+        from posepipeline_tpu.models.hrnet import fold_train_norm
+        from posepipeline_tpu.testing import synthetic_multi_frames
         from posepipeline_tpu.train import AETrainer
 
-        model = get_bottomup_model("HigherHRNet")
+        # stat-free parity layout is untrainable from scratch (served PCK
+        # 0.235 in r4) — train with BatchStatNorm, then fold (hrnet recipe)
+        config.setdefault("custom", {})["higherhrnet_model"] = {
+            "train_norm": True}
+        bottomup_ae._ae_cache.pop("HigherHRNet", None)
+        model = bottomup_ae.get_bottomup_model("HigherHRNet")
         tr = AETrainer(model)
-        losses = tr.fit_synthetic(steps=max(steps // 4, 20), batch=4,
+        losses = tr.fit_synthetic(steps=max(steps // 2, 20), batch=4,
                                   log_every=10)
-        save("bottomup__HigherHRNet", model.params)
-        print(f"higherhrnet ae: loss {losses[0]:.4f}->{losses[-1]:.4f}")
+
+        rng = _np.random.default_rng(77)
+
+        def calib(i):
+            frames, _ = synthetic_multi_frames(4, 128, 160, 2, rng)
+            return jnp.asarray(frames, jnp.float32) / 255.0
+
+        folded = fold_train_norm(model.net, model.params, calib,
+                                 num_batches=8)
+        config["custom"].pop("higherhrnet_model")
+        bottomup_ae._ae_cache.pop("HigherHRNet", None)
+        save("bottomup__HigherHRNet", folded)
+        print(f"higherhrnet ae: loss {losses[0]:.4f}->{losses[-1]:.4f} "
+              "(norm-folded)")
 
     # ---- bridging (MeTRAbs absolute-3D head) ---------------------------
     if want("bridging"):
