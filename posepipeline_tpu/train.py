@@ -1012,11 +1012,13 @@ class BridgingTrainer:
                     z_s = z[:, self.sup_idx]
                     l_uv = (mask[None, :, None]
                             * (uv_s - uv_t) ** 2).sum() / mask.sum() / batch
-                    # 4x depth weight: at 1x the depth head stalled 22 mm
-                    # above the scale-from-height Bayes optimum (r5: 172 vs
-                    # 150 mm) — the uv term dominated the shared features
+                    # depth weight 1x: a 4x variant was tried in r5 and
+                    # regressed BOTH heads (depth 174 vs 172 mm, uv 11.9 vs
+                    # 8.1 px) — the residual 22 mm above the
+                    # scale-from-height Bayes optimum is a capacity/steps
+                    # limit, not loss-balance
                     l_z = jnp.mean(((z_s - z0) / 1000.0) ** 2)
-                    return l_uv * 10.0 + 4.0 * l_z
+                    return l_uv * 10.0 + l_z
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = opt.update(grads, opt_state)

@@ -473,7 +473,17 @@ def main():
         ]
         report += head_rows
         report += [f"| {name} | {val} |" for name, val in slot_rows]
-        report += [""]
+        report += [
+            "",
+            "The HigherHRNet row is the checkpoint-parity mmpose",
+            "architecture served for converted-checkpoint drops; on",
+            "synthetic-from-scratch training it trails the TPU-first AE",
+            "net, which is the default `MMPose` bottom-up row. The parity",
+            "arch's value is that `tools/convert_weights.py --arch",
+            "higherhrnet` maps a real mmpose checkpoint onto it verbatim",
+            "(golden-tested layout).",
+            "",
+        ]
 
         # ---- tracker-quality table (VERDICT r4 missing #5) --------------
         import eval_trackers as et
