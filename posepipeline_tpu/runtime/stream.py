@@ -505,6 +505,11 @@ class NativeStreamingRunner:
                     est.topdown.params, jnp.asarray(crops),
                     jnp.asarray(fixed), buf, offset)
 
+        # (width, height) recorded at open: finish_video/assembly must not
+        # re-open the container (a cv2 probe per video serialized ~10s of
+        # host time across a 100-stream clinic run)
+        vid_dims: Dict[int, tuple] = {}
+
         def finish_video(vid):
             """End-of-video: dispatch the 3D lift on the DEVICE-resident
             keypoint accumulator (a device slice — the 2D keypoints never
@@ -518,9 +523,8 @@ class NativeStreamingRunner:
                 _copy_async(kp_dev)
                 if lift and self.lifter is not None:
                     with metrics.StageTimer("lift_3d", frames=nf):
-                        info = video_info(video_paths[vid])
-                        kp3d, valid3 = self.lifter(
-                            kp_dev[:nf], info["width"], info["height"])
+                        vw, vh = vid_dims.get(vid, (W, H))
+                        kp3d, valid3 = self.lifter(kp_dev[:nf], vw, vh)
                     _copy_async(kp3d)
                     _copy_async(valid3)
                     lift_results[vid] = (kp3d, valid3)
@@ -556,6 +560,7 @@ class NativeStreamingRunner:
         def open_reader(vid, path):
             reader = media.NativeVideoReader(path,
                                              fast_decode=self.fast_decode)
+            vid_dims[vid] = (reader.width, reader.height)
             # the compiled programs are sized for est.input_hw — refuse
             # mismatched videos loudly (BucketedStreamingRunner groups
             # mixed-resolution fleets into per-size runners)
@@ -726,10 +731,9 @@ class NativeStreamingRunner:
                 if vid in lift_results:   # dispatched at eov (overlapped)
                     kp3d, valid3 = lift_results[vid]
                 else:
-                    info = video_info(video_paths[vid])
+                    vw, vh = vid_dims.get(vid, (W, H))
                     with metrics.StageTimer("lift_3d", frames=len(kp)):
-                        kp3d, valid3 = self.lifter(kp, info["width"],
-                                                   info["height"])
+                        kp3d, valid3 = self.lifter(kp, vw, vh)
                 item["keypoints3d"] = np.asarray(kp3d)
                 item["keypoints_valid"] = np.asarray(valid3)
             out.append(item)
